@@ -1,0 +1,237 @@
+"""Wavefront path-tracing integrator: the per-sample render loop.
+
+The TPU-shaped equivalent of the reference frame tick (``OpenCLApp.cpp:57-82``):
+generate one camera ray per pixel, then ``maxdepth`` × {intersect, shade} with
+everything resident on device, then splat into the (sum, count) framebuffer.  The
+reference runs its bounce loop with a fixed trip count and lets dead rays
+early-return inside the kernels (``OpenCLApp.cpp:69-72``, ``intersect.cl:16``);
+here the bounce loop is a ``lax.while_loop`` that exits as soon as every path has
+terminated — dead lanes cost zero full iterations instead of ``maxdepth`` kernel
+launches.
+
+Extensions over the reference (config-gated, see ``mcpt.config.IntegratorConfig``):
+next-event estimation with the power-heuristic MIS against BSDF sampling, and
+Russian roulette.  All randomness is threefry, keyed per (sample index, bounce).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mcpt.scene import Lights, Scene
+from mcpt.render import camera as camera_mod
+from mcpt.render import shade as shade_mod
+from mcpt.render import traverse
+from mcpt.types import EPSILON, Camera, Framebuffer, RayPool
+
+
+class RenderOptions(NamedTuple):
+    """Static (hashable) integrator options — part of the jit cache key."""
+
+    max_depth: int = 16
+    nee: bool = False
+    mis: bool = False
+    russian_roulette: bool = False
+    rr_start_depth: int = 3
+    method: str = "auto"  # intersector: auto | brute | bvh
+    jitter: bool = True
+    # Bounce-loop lowering.  "fori" (default) is a fixed-trip-count loop — the
+    # reference's own scheduling (``OpenCLApp.cpp:69-72``).  "while" adds an
+    # any-alive early exit, a win when most paths die before max_depth — but the
+    # axon TPU backend in this environment miscompiles the data-dependent-cond
+    # While with the NEE body (verified: identical body under fori/scan/unroll is
+    # correct, under while_loop loses ~92% of NEE light), so "fori" stays default.
+    loop: str = "fori"
+
+
+def _nee_contribution(scene: Scene, lights: Lights, res: shade_mod.ShadeResult,
+                      hit_point, wo, key, opts: RenderOptions):
+    """Sample one point on the light area; returns (radiance_delta (R,3))."""
+    r = hit_point.shape[0]
+    u = jax.random.uniform(key, (r, 3), jnp.float32)
+
+    # pick a light triangle ∝ area
+    li = jnp.clip(
+        jnp.searchsorted(lights.cdf, u[:, 0], side="left"), 0, lights.count - 1
+    )
+    tri = lights.tri[li]
+    v = scene.geom.verts[tri]  # (R, 3, 3)
+    su = jnp.sqrt(u[:, 1])
+    b0 = 1.0 - su
+    b1 = su * (1.0 - u[:, 2])
+    b2 = su * u[:, 2]
+    p_l = b0[:, None] * v[:, 0] + b1[:, None] * v[:, 1] + b2[:, None] * v[:, 2]
+    n_l = scene.geom.normals[tri]
+
+    to_l = p_l - hit_point
+    dist2 = jnp.sum(to_l * to_l, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+    wi = to_l / dist[:, None]
+
+    cos_surf = jnp.sum(res.n_shade * wi, axis=-1)
+    cos_light = jnp.abs(jnp.sum(n_l * wi, axis=-1))  # lights emit double-sided
+
+    # area-uniform pdf over all light area → solid angle
+    pdf_sa = dist2 / jnp.maximum(cos_light * lights.total_area, 1e-12)
+
+    f, bsdf_pdf = shade_mod.eval_bsdf(scene.materials, res.mat_id, res.n_shade, wo, wi)
+
+    cand = res.scatter & (cos_surf > 0.0) & (cos_light > 1e-6)
+    shadow_o = hit_point + scene.eps * wi
+    blocked = traverse.occluded(
+        scene, shadow_o, wi, dist - 2.0 * scene.eps, active=cand, method=opts.method
+    )
+    vis = cand & ~blocked
+
+    Le = lights.emission[li]
+    if opts.mis:
+        w_mis = pdf_sa**2 / jnp.maximum(pdf_sa**2 + bsdf_pdf**2, 1e-20)
+    else:
+        w_mis = jnp.ones_like(pdf_sa)
+    contrib = f * Le * (cos_surf * w_mis / jnp.maximum(pdf_sa, 1e-12))[:, None]
+    return jnp.where(vis[:, None], contrib, 0.0)
+
+
+class _LoopState(NamedTuple):
+    depth: jnp.ndarray
+    pool: RayPool
+    prev_scatter: jnp.ndarray  # (R,) — previous bounce sampled a non-delta BSDF
+    prev_pdf: jnp.ndarray  # (R,) — its solid-angle pdf (for MIS at light hits)
+
+
+def trace(scene: Scene, lights: Lights, pool: RayPool, key: jax.Array,
+          opts: RenderOptions) -> RayPool:
+    """Run the bounce loop to termination; returns the final pool (radiance set)."""
+    r = pool.count
+    use_nee = opts.nee and lights.count > 0
+
+    def body(state: _LoopState) -> _LoopState:
+        pool = state.pool
+        kd_, kn_, ks_ = jax.random.split(
+            jax.random.fold_in(key, state.depth), 3
+        )
+        hit = traverse.intersect_scene(
+            scene, pool.origin, pool.direction, active=pool.alive, method=opts.method
+        )
+
+        # Emission discount at light hits (MIS vs the previous bounce's NEE).
+        if use_nee:
+            cos_l = jnp.abs(jnp.sum(hit.normal * pool.direction, axis=-1))
+            pdf_light_sa = (hit.t**2) / jnp.maximum(
+                cos_l * lights.total_area, 1e-12
+            )
+            if opts.mis:
+                w = state.prev_pdf**2 / jnp.maximum(
+                    state.prev_pdf**2 + pdf_light_sa**2, 1e-20
+                )
+            else:
+                w = jnp.zeros((r,), jnp.float32)  # NEE-only: no double counting
+            e_scale = jnp.where(state.prev_scatter, w, 1.0)
+        else:
+            e_scale = None
+
+        wo = -pool.direction
+        res = shade_mod.shade(
+            scene.materials,
+            scene.geom.mat_id,
+            pool,
+            hit,
+            ks_,
+            state.depth,
+            opts.max_depth,
+            rr_enabled=opts.russian_roulette,
+            rr_start_depth=opts.rr_start_depth,
+            emission_scale=e_scale,
+            eps=scene.eps,
+        )
+        new_pool = res.pool
+
+        if use_nee:
+            delta = _nee_contribution(scene, lights, res, hit.point, wo, kn_, opts)
+            # NEE uses the throughput *before* this bounce's BSDF weight
+            new_pool = new_pool._replace(
+                radiance=new_pool.radiance + pool.throughput * delta
+            )
+
+        return _LoopState(
+            depth=state.depth + 1,
+            pool=new_pool,
+            prev_scatter=res.scatter,
+            prev_pdf=res.bsdf_pdf,
+        )
+
+    def cond(state: _LoopState):
+        return (state.depth < opts.max_depth) & jnp.any(state.pool.alive)
+
+    init = _LoopState(
+        depth=jnp.int32(0),
+        pool=pool,
+        prev_scatter=jnp.zeros((r,), bool),
+        prev_pdf=jnp.zeros((r,), jnp.float32),
+    )
+    if opts.loop == "while":
+        final = jax.lax.while_loop(cond, body, init)
+    elif opts.loop == "fori":
+        final = jax.lax.fori_loop(0, opts.max_depth, lambda i, s: body(s), init)
+    elif opts.loop == "unroll":
+        final = init
+        for _ in range(opts.max_depth):
+            final = body(final)
+    else:
+        raise ValueError(f"unknown loop mode {opts.loop!r}")
+    return final.pool
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "opts"))
+def render_sample(scene: Scene, lights: Lights, cam: Camera, width: int,
+                  height: int, key: jax.Array, opts: RenderOptions) -> jnp.ndarray:
+    """One sample per pixel → (W·H, 3) radiance."""
+    k_cam, k_path = jax.random.split(key)
+    pool = camera_mod.generate_rays(
+        cam, width, height, key=k_cam, jitter=opts.jitter
+    )
+    pool = trace(scene, lights, pool, k_path, opts)
+    return pool.radiance
+
+
+@jax.jit
+def accumulate(fb: Framebuffer, radiance: jnp.ndarray) -> Framebuffer:
+    """Exact running (sum, count) — unlike the reference's black/saturated-sample
+    skipping (``history.cl:15-18``), every sample counts: unbiased mean."""
+    return Framebuffer(sum=fb.sum + radiance, count=fb.count + 1.0)
+
+
+def render(scene: Scene, lights: Lights, cam: Camera, width: int, height: int,
+           opts: RenderOptions, spp: int, seed: int = 0,
+           fb: Framebuffer | None = None, progress=None):
+    """Progressive accumulation of ``spp`` samples (host loop ≙ the reference's
+    frame ticks, one sample per tick, ``colorout.cpp:55-62``).
+
+    Returns the framebuffer; ``fb`` may resume a previous render (checkpointing —
+    the reference has none across runs, SURVEY §5)."""
+    from mcpt.types import make_framebuffer
+
+    if fb is None:
+        fb = make_framebuffer(width * height)
+    base = jax.random.key(seed)
+    start = int(fb.count.max()) if fb.count.size else 0
+    for s in range(start, start + spp):
+        radiance = render_sample(
+            scene, lights, cam, width, height, jax.random.fold_in(base, s), opts
+        )
+        fb = accumulate(fb, radiance)
+        if progress is not None:
+            progress(s, fb)
+    return fb
+
+
+def framebuffer_image(fb: Framebuffer, width: int, height: int):
+    """(H, W, 3) float32 mean radiance, row 0 at the *bottom* (reference
+    framebuffer orientation; flip when writing images)."""
+    import numpy as np
+
+    return np.asarray(fb.mean).reshape(height, width, 3)

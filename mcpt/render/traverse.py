@@ -1,0 +1,266 @@
+"""Ray–scene intersection: Möller–Trumbore + vectorized BVH traversal.
+
+Replaces the reference's per-ray OpenCL traversal (``objdef.h:240-275``: a
+``stack[64]`` walk with ``goto``-based descend-left/push-right, one work-item per
+ray) and its triangle test (``objdef.h:178-221``: solving a 4×4 system by cofactor
+inversion).  Neither maps to TPU execution:
+
+- The triangle test becomes Möller–Trumbore (~1/10th the FLOPs of the 4×4 inverse
+  and numerically better behaved).
+- Traversal is re-architected as a *ray-batched* loop: every ray in the pool steps
+  its own short stack simultaneously, so each iteration is a handful of dense
+  gathers + vector ops over the whole pool (VPU-shaped), with a
+  ``lax.while_loop`` running until every lane's stack is empty.  Ordered descent
+  (near child first) plus a current-best-t prune keeps visit counts close to the
+  scalar reference's.
+- For small scenes a brute-force all-triangles test (chunked ``lax.scan``) beats
+  any tree — the reference has no such path but on TPU it is the fast path for
+  cbox-sized scenes.
+
+The Pallas VMEM-resident variant of this loop lives in ``mcpt.pallas``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mcpt.types import BVH, Geometry, Hit
+
+_DET_EPS = 1e-12
+_T_MIN = 1e-4
+MAX_STACK = 64  # same bound as the reference's stack[64] (objdef.h:244)
+
+
+def moller_trumbore(origin, direction, v0, v1, v2, t_min=_T_MIN):
+    """Batched Möller–Trumbore.  All args (..., 3); returns (t, hit_mask).
+
+    Misses get t = +inf.  Backface hits are accepted, as in the reference
+    (``objdef.h:178-221`` accepts any sign of the determinant; the shade kernel
+    flips the normal to face the ray, ``intersect.cl:23-25``).
+    """
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pvec = jnp.cross(direction, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
+    tvec = origin - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(direction * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = (
+        (jnp.abs(det) > _DET_EPS)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min)
+    )
+    return jnp.where(hit, t, jnp.inf), hit
+
+
+def _finish_hit(geom: Geometry, origin, direction, t, tri) -> Hit:
+    """Recompute hit point + geometric normal from the winning triangle id."""
+    valid = tri >= 0
+    safe_tri = jnp.maximum(tri, 0)
+    normal = geom.normals[safe_tri]
+    t_safe = jnp.where(valid, t, 0.0)
+    point = origin + direction * t_safe[:, None]
+    return Hit(
+        t=jnp.where(valid, t, jnp.inf),
+        tri=jnp.where(valid, tri, -1),
+        point=point,
+        normal=jnp.where(valid[:, None], normal, 0.0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute force (small scenes)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def intersect_brute(geom: Geometry, origin, direction, t_max=None, chunk: int = 64):
+    """Closest hit by testing every triangle, scanned in chunks of ``chunk``."""
+    n = geom.count
+    pad = (-n) % chunk
+    verts = jnp.pad(geom.verts, ((0, pad), (0, 0), (0, 0)))
+    n_chunks = (n + pad) // chunk
+    verts = verts.reshape(n_chunks, chunk, 3, 3)
+    r = origin.shape[0]
+
+    def body(carry, vc):
+        best_t, best_i, base = carry
+        v0 = vc[:, 0][None]  # (1, C, 3)
+        v1 = vc[:, 1][None]
+        v2 = vc[:, 2][None]
+        t, hit = moller_trumbore(origin[:, None], direction[:, None], v0, v1, v2)
+        tri_ids = base + jnp.arange(chunk, dtype=jnp.int32)[None]
+        t = jnp.where(tri_ids < n, t, jnp.inf)
+        ci = jnp.argmin(t, axis=1)
+        ct = t[jnp.arange(r), ci]
+        better = ct < best_t
+        best_t = jnp.where(better, ct, best_t)
+        best_i = jnp.where(better, tri_ids[0, ci], best_i)
+        return (best_t, best_i, base + chunk), None
+
+    init = (
+        jnp.full((r,), jnp.inf, jnp.float32),
+        jnp.full((r,), -1, jnp.int32),
+        jnp.int32(0),
+    )
+    (best_t, best_i, _), _ = jax.lax.scan(body, init, verts)
+    if t_max is not None:
+        ok = best_t < t_max
+        best_t = jnp.where(ok, best_t, jnp.inf)
+        best_i = jnp.where(ok, best_i, -1)
+    return _finish_hit(geom, origin, direction, best_t, best_i)
+
+
+# ---------------------------------------------------------------------------
+# BVH traversal (ray-batched stack walk)
+# ---------------------------------------------------------------------------
+
+
+def _slab(bbmin, bbmax, origin, inv_dir, t_best):
+    """Slab AABB test (robust form of ``objdef.h:223-237``).  Returns (hit, tnear)."""
+    t0 = (bbmin - origin) * inv_dir
+    t1 = (bbmax - origin) * inv_dir
+    tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (tfar >= jnp.maximum(tnear, 0.0)) & (tnear < t_best)
+    return hit, tnear
+
+
+class _TravState(NamedTuple):
+    stack: jnp.ndarray  # (R, MAX_STACK) int32
+    sp: jnp.ndarray  # (R,) int32
+    t: jnp.ndarray  # (R,) f32
+    tri: jnp.ndarray  # (R,) int32
+
+
+@functools.partial(jax.jit, static_argnames=("max_stack",))
+def intersect_bvh(
+    bvh: BVH, geom: Geometry, origin, direction, active=None, max_stack: int = MAX_STACK
+):
+    """Closest hit via batched stack traversal.
+
+    ``active`` masks out terminated rays, which then cost nothing after their first
+    iteration (their stack starts empty) — the analogue of the reference's
+    early-return on the terminated flag (``intersect.cl:16-18``).
+    """
+    r = origin.shape[0]
+    n = bvh.n_tris
+    leaf_base = n - 1
+    arange = jnp.arange(r)
+
+    tiny = 1e-30
+    d = direction
+    inv_dir = 1.0 / jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d)
+
+    if active is None:
+        active = jnp.ones((r,), bool)
+
+    # Root pre-test: only rays whose ray hits the root box start with a non-empty stack.
+    root_hit, _ = _slab(bvh.bbmin[0], bvh.bbmax[0], origin, inv_dir, jnp.inf)
+    start = active & root_hit
+
+    stack0 = jnp.zeros((r, max_stack), jnp.int32)
+    state = _TravState(
+        stack=stack0,
+        sp=start.astype(jnp.int32),
+        t=jnp.full((r,), jnp.inf, jnp.float32),
+        tri=jnp.full((r,), -1, jnp.int32),
+    )
+
+    if n == 1:
+        # degenerate: the root is the only (leaf) node
+        t, hit = moller_trumbore(
+            origin, direction, geom.verts[0, 0], geom.verts[0, 1], geom.verts[0, 2]
+        )
+        ok = hit & start
+        return _finish_hit(
+            geom, origin, direction,
+            jnp.where(ok, t, jnp.inf), jnp.where(ok, 0, -1),
+        )
+
+    def cond(state):
+        return jnp.any(state.sp > 0)
+
+    def body(state):
+        live = state.sp > 0
+        top = jnp.maximum(state.sp - 1, 0)
+        node = state.stack[arange, top]
+        node = jnp.where(live, node, 0)
+        sp = jnp.where(live, state.sp - 1, state.sp)
+
+        is_leaf = node >= leaf_base
+
+        # --- leaf path: Möller–Trumbore on the node's triangle ---
+        tri_id = jnp.clip(bvh.left[node], 0, n - 1)
+        v = geom.verts[tri_id]
+        t_hit, m_hit = moller_trumbore(origin, direction, v[:, 0], v[:, 1], v[:, 2])
+        take = live & is_leaf & m_hit & (t_hit < state.t)
+        t_new = jnp.where(take, t_hit, state.t)
+        tri_new = jnp.where(take, tri_id, state.tri)
+
+        # --- internal path: test both children, push far then near ---
+        lc = bvh.left[node]
+        rc = bvh.right[node]
+        hit_l, tn_l = _slab(bvh.bbmin[lc], bvh.bbmax[lc], origin, inv_dir, t_new)
+        hit_r, tn_r = _slab(bvh.bbmin[rc], bvh.bbmax[rc], origin, inv_dir, t_new)
+        inner = live & ~is_leaf
+        hit_l = hit_l & inner
+        hit_r = hit_r & inner
+
+        near_is_l = tn_l <= tn_r
+        near = jnp.where(near_is_l, lc, rc)
+        far = jnp.where(near_is_l, rc, lc)
+        hit_near = jnp.where(near_is_l, hit_l, hit_r)
+        hit_far = jnp.where(near_is_l, hit_r, hit_l)
+
+        stack = state.stack
+        # push far child first so near pops first
+        slot = jnp.minimum(sp, max_stack - 1)
+        stack = stack.at[arange, slot].set(
+            jnp.where(hit_far, far, stack[arange, slot])
+        )
+        sp = sp + hit_far.astype(jnp.int32)
+        slot = jnp.minimum(sp, max_stack - 1)
+        stack = stack.at[arange, slot].set(
+            jnp.where(hit_near, near, stack[arange, slot])
+        )
+        sp = sp + hit_near.astype(jnp.int32)
+
+        return _TravState(stack=stack, sp=sp, t=t_new, tri=tri_new)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return _finish_hit(geom, origin, direction, state.t, state.tri)
+
+
+def intersect_scene(scene, origin, direction, active=None, method: str = "auto"):
+    """Dispatch: brute force below 512 tris (``auto``), else BVH."""
+    if method == "auto":
+        method = "brute" if scene.geom.count <= 512 else "bvh"
+    if method == "brute":
+        hit = intersect_brute(scene.geom, origin, direction)
+        if active is not None:
+            hit = Hit(
+                t=jnp.where(active, hit.t, jnp.inf),
+                tri=jnp.where(active, hit.tri, -1),
+                point=hit.point,
+                normal=hit.normal,
+            )
+        return hit
+    return intersect_bvh(scene.bvh, scene.geom, origin, direction, active=active)
+
+
+def occluded(scene, origin, direction, t_max, active=None, method: str = "auto"):
+    """Shadow-ray query: is there any hit with t < t_max?  (Used by NEE, which the
+    reference lacks.)  v1 uses closest-hit; a dedicated any-hit early-out kernel is
+    a later optimization."""
+    hit = intersect_scene(scene, origin, direction, active=active, method=method)
+    return hit.t < t_max * (1.0 - 1e-3)

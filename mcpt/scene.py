@@ -1,0 +1,111 @@
+"""Scene assembly: geometry + materials + BVH + light table.
+
+Mirrors the reference's ``SceneCL`` construction (``scenebuild.cpp:50-101``): bake
+per-triangle normals and material ids, build the BVH selected by ``bvhtype``
+(``scenebuild.cpp:66-79``), upload everything device-side.  We do *not* replicate
+the reference's fall-through quirk where a CPU-built BVH is silently overwritten by
+a fresh GPU-treelet build (``scenebuild.cpp:80-95``) — ``bvhtype`` here selects
+exactly one builder.
+
+The light table is new: the reference has no light sampling (no NEE); we
+precompute the emissive-triangle list + area CDF host-side for ``mcpt.render``'s
+next-event estimation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from mcpt import types
+from mcpt.io.objloader import LoadedObject
+from mcpt.types import Geometry, Materials, Scene
+
+
+class Lights(NamedTuple):
+    """Emissive-triangle table for next-event estimation (area-uniform sampling)."""
+
+    tri: jnp.ndarray  # (L,) int32 triangle ids
+    cdf: jnp.ndarray  # (L,) f32 cumulative area distribution (last == 1)
+    emission: jnp.ndarray  # (L, 3) f32
+    total_area: jnp.ndarray  # () f32
+
+    @property
+    def count(self) -> int:
+        return self.tri.shape[0]
+
+
+def build_lights(verts: np.ndarray, mat_id: np.ndarray, mtype: np.ndarray,
+                 ka: np.ndarray) -> Lights:
+    v = np.asarray(verts, np.float32).reshape(-1, 3, 3)
+    mat_id = np.asarray(mat_id).reshape(-1)
+    valid = mat_id >= 0
+    is_light = np.zeros(v.shape[0], bool)
+    is_light[valid] = np.asarray(mtype)[mat_id[valid]] == types.LIGHT
+    ids = np.nonzero(is_light)[0].astype(np.int32)
+    if len(ids) == 0:
+        return Lights(
+            tri=jnp.zeros((0,), jnp.int32),
+            cdf=jnp.zeros((0,), jnp.float32),
+            emission=jnp.zeros((0, 3), jnp.float32),
+            total_area=jnp.float32(0.0),
+        )
+    lv = v[ids]
+    areas = 0.5 * np.linalg.norm(
+        np.cross(lv[:, 1] - lv[:, 0], lv[:, 2] - lv[:, 0]), axis=1
+    )
+    total = float(areas.sum())
+    cdf = np.cumsum(areas) / max(total, 1e-30)
+    emission = np.asarray(ka)[mat_id[ids]]
+    return Lights(
+        tri=jnp.asarray(ids),
+        cdf=jnp.asarray(cdf, jnp.float32),
+        emission=jnp.asarray(emission, jnp.float32),
+        total_area=jnp.float32(total),
+    )
+
+
+def build_scene(loaded: LoadedObject, bvhtype: str = "hlbvh"):
+    """LoadedObject → (Scene, Lights) with the BVH selected by ``bvhtype``
+    (reference ``Config::BVHTYPE()`` dispatch, ``scenebuild.cpp:66-79``).
+
+    ``bvhtype``: ``hlbvh`` (LBVH), ``treelet``/``treeletGPU`` (LBVH + treelet SAH
+    restructuring — both map to the same device-side optimizer here).
+    """
+    from mcpt.bvh import lbvh as lbvh_mod
+
+    geom, mats = loaded.to_device()
+    bvh = lbvh_mod.build_lbvh(geom.verts)
+    if bvhtype in ("treelet", "treeletGPU", "treelet_opt"):
+        from mcpt.bvh import treelet as treelet_mod
+
+        bvh = treelet_mod.optimize_treelets(bvh)
+    elif bvhtype not in ("", "hlbvh", "lbvh"):
+        raise ValueError(f"unknown bvhtype {bvhtype!r}")
+    lights = build_lights(loaded.verts, loaded.mat_id, loaded.mtype, loaded.ka)
+    # scale-aware epsilon: 1e-4 of the scene diagonal (see types.Scene.eps)
+    v = loaded.verts.reshape(-1, 3)
+    diag = float(np.linalg.norm(v.max(axis=0) - v.min(axis=0)))
+    scene = Scene(
+        geom=geom, materials=mats, bvh=bvh,
+        eps=jnp.float32(max(1e-4 * diag, 1e-6)),
+    )
+    return scene, lights
+
+
+def loaded_from_arrays(verts, mat_id, mtype, kd, ks, ka, ns, ni,
+                       names=None) -> LoadedObject:
+    """Convenience for procedural scenes (mcpt.scenes) and tests."""
+    return LoadedObject(
+        verts=np.asarray(verts, np.float32).reshape(-1, 3, 3),
+        mat_id=np.asarray(mat_id, np.int32).reshape(-1),
+        mtype=np.asarray(mtype, np.int32).reshape(-1),
+        kd=np.asarray(kd, np.float32).reshape(-1, 3),
+        ks=np.asarray(ks, np.float32).reshape(-1, 3),
+        ka=np.asarray(ka, np.float32).reshape(-1, 3),
+        ns=np.asarray(ns, np.float32).reshape(-1),
+        ni=np.asarray(ni, np.float32).reshape(-1),
+        mat_names=list(names or []),
+    )

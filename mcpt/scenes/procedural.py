@@ -1,0 +1,247 @@
+"""Procedural test scenes.
+
+The reference ships no scene geometry in git (`.gitignore` excludes ``*.obj``; only
+``.mtl`` + ground-truth renders survive), so the framework carries procedural
+builders: a Cornell box using the exact material palette of
+``Scene/cbox/cbox.mtl`` (blue/glass/light/red/silver/white, classic geometry with
+the camera of ``config.json:21-28`` — the shipped scene's milk-can/pitcher props
+are approximated by the classic tall/short boxes), and analytic scenes with
+closed-form expected radiance (furnace tests) used as physics oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mcpt import types
+from mcpt.config import CameraConfig
+from mcpt.io.objloader import LoadedObject
+from mcpt.scene import loaded_from_arrays
+
+
+def _quad(a, b, c, d):
+    """Two CCW triangles for quad a-b-c-d."""
+    return [(a, b, c), (a, c, d)]
+
+
+def _box(pmin, pmax):
+    """12 triangles of an axis-aligned box with outward normals."""
+    x0, y0, z0 = pmin
+    x1, y1, z1 = pmax
+    p = {
+        (i, j, k): ((x0, x1)[i], (y0, y1)[j], (z0, z1)[k])
+        for i in (0, 1)
+        for j in (0, 1)
+        for k in (0, 1)
+    }
+    tris = []
+    tris += _quad(p[0, 0, 0], p[0, 1, 0], p[1, 1, 0], p[1, 0, 0])  # z = z0
+    tris += _quad(p[0, 0, 1], p[1, 0, 1], p[1, 1, 1], p[0, 1, 1])  # z = z1
+    tris += _quad(p[0, 0, 0], p[0, 0, 1], p[0, 1, 1], p[0, 1, 0])  # x = x0
+    tris += _quad(p[1, 0, 0], p[1, 1, 0], p[1, 1, 1], p[1, 0, 1])  # x = x1
+    tris += _quad(p[0, 0, 0], p[1, 0, 0], p[1, 0, 1], p[0, 0, 1])  # y = y0
+    tris += _quad(p[0, 1, 0], p[0, 1, 1], p[1, 1, 1], p[1, 1, 0])  # y = y1
+    return tris
+
+
+# Material palette of Scene/cbox/cbox.mtl (verbatim values).
+_CBOX_MATS = dict(
+    blue=dict(Kd=(0.05, 0.05, 0.95)),
+    glass=dict(Ni=1.5),
+    light=dict(Ka=(10.0, 10.0, 10.0)),
+    red=dict(Kd=(0.95, 0.05, 0.05)),
+    silver=dict(Kd=(0.77, 0.79, 0.73), Ks=(0.97, 0.99, 0.93), Ns=98.0),
+    white=dict(Kd=(0.85, 0.75, 0.65)),
+)
+
+
+def _pack_mats(order):
+    m = len(order)
+    mtype = np.zeros(m, np.int32)
+    kd = np.zeros((m, 3), np.float32)
+    ks = np.zeros((m, 3), np.float32)
+    ka = np.zeros((m, 3), np.float32)
+    ns = np.zeros(m, np.float32)
+    ni = np.ones(m, np.float32)
+    for i, name in enumerate(order):
+        d = _CBOX_MATS[name] if name in _CBOX_MATS else {}
+        if "Ni" in d and d["Ni"] != 1.0:
+            mtype[i] = types.TRANSPARENT
+            ni[i] = d["Ni"]
+        elif "Ka" in d:
+            mtype[i] = types.LIGHT
+            ka[i] = d["Ka"]
+        elif "Ns" in d:
+            mtype[i] = types.GLOSSY
+            kd[i] = d.get("Kd", (0, 0, 0))
+            ks[i] = d["Ks"]
+            ns[i] = d["Ns"]
+        else:
+            mtype[i] = types.DIFFUSE
+            kd[i] = d.get("Kd", (0, 0, 0))
+    return mtype, kd, ks, ka, ns, ni
+
+
+def cornell_box(include_boxes: bool = True, tall_material: str = "silver",
+                short_material: str = "glass") -> tuple[LoadedObject, CameraConfig]:
+    """Classic Cornell box with the cbox.mtl palette.
+
+    Red wall on +x (screen left for the reference camera, which looks down +z with
+    right = -x), blue on x=0, white floor/ceiling/back, area light in the ceiling.
+    """
+    order = ["white", "red", "blue", "light", tall_material, short_material]
+    names = {n: i for i, n in enumerate(order)}
+    tris: list = []
+    mat_id: list[int] = []
+
+    def add(quads, m):
+        tris.extend(quads)
+        mat_id.extend([names[m]] * len(quads))
+
+    # floor, ceiling, back wall — white
+    add(_quad((552.8, 0, 0), (0, 0, 0), (0, 0, 559.2), (549.6, 0, 559.2)), "white")
+    add(
+        _quad((556, 548.8, 0), (556, 548.8, 559.2), (0, 548.8, 559.2), (0, 548.8, 0)),
+        "white",
+    )
+    add(
+        _quad((549.6, 0, 559.2), (0, 0, 559.2), (0, 548.8, 559.2), (556, 548.8, 559.2)),
+        "white",
+    )
+    # left (+x) red, right (x=0) blue
+    add(
+        _quad((552.8, 0, 0), (549.6, 0, 559.2), (556, 548.8, 559.2), (556, 548.8, 0)),
+        "red",
+    )
+    add(_quad((0, 0, 559.2), (0, 0, 0), (0, 548.8, 0), (0, 548.8, 559.2)), "blue")
+    # ceiling light (slightly below ceiling)
+    add(
+        _quad(
+            (343, 548.75, 227), (343, 548.75, 332), (213, 548.75, 332), (213, 548.75, 227)
+        ),
+        "light",
+    )
+    if include_boxes:
+        tall = _box((265, 0, 296), (430, 330, 456))
+        tris.extend(tall)
+        mat_id.extend([names[tall_material]] * len(tall))
+        short = _box((130, 0, 65), (295, 165, 225))
+        tris.extend(short)
+        mat_id.extend([names[short_material]] * len(short))
+
+    verts = np.asarray(tris, np.float32)
+    mtype, kd, ks, ka, ns, ni = _pack_mats(order)
+    loaded = loaded_from_arrays(verts, mat_id, mtype, kd, ks, ka, ns, ni, order)
+    cam = CameraConfig(
+        position=(278, 273, -800),
+        lookat=(278, 273, -799),
+        up=(0, 1, 0),
+        fov=39.3077,
+        resolution=(512, 512),
+    )
+    return loaded, cam
+
+
+def icosphere(center, radius, subdiv: int = 2, flip: bool = False) -> np.ndarray:
+    """Triangulated sphere; ``flip=True`` turns normals inward (enclosures)."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [
+            (-1, t, 0), (1, t, 0), (-1, -t, 0), (1, -t, 0),
+            (0, -1, t), (0, 1, t), (0, -1, -t), (0, 1, -t),
+            (t, 0, -1), (t, 0, 1), (-t, 0, -1), (-t, 0, 1),
+        ],
+        np.float64,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = [
+        (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+        (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+        (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+        (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1),
+    ]
+    for _ in range(subdiv):
+        new_faces = []
+        cache: dict = {}
+        vlist = list(verts)
+
+        def mid(a, b):
+            k = (min(a, b), max(a, b))
+            if k not in cache:
+                m = vlist[a] + vlist[b]
+                m /= np.linalg.norm(m)
+                cache[k] = len(vlist)
+                vlist.append(m)
+            return cache[k]
+
+        for a, b, c in faces:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            new_faces += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
+        faces = new_faces
+        verts = np.asarray(vlist)
+    v = verts[np.asarray(faces)]  # (F, 3, 3)
+    if flip:
+        v = v[:, ::-1]
+    return (np.asarray(v, np.float32) * radius + np.asarray(center, np.float32))
+
+
+def furnace_sphere(albedo: float = 0.5, emission: float = 1.0, subdiv: int = 3):
+    """Furnace test: a diffuse sphere (Kd = albedo) inside an inward-facing
+    emissive enclosure (Ka = emission).  A convex diffuse body under uniform
+    illumination E reflects exactly ρ·E in every direction, so a camera pixel
+    covering the sphere must converge to ``albedo · emission`` and one covering
+    the background to ``emission``.  Closed-form oracle for the whole integrator.
+    """
+    inner = icosphere((0, 0, 0), 1.0, subdiv=subdiv)
+    outer = icosphere((0, 0, 0), 50.0, subdiv=2, flip=True)
+    verts = np.concatenate([inner, outer])
+    mat_id = np.concatenate(
+        [np.zeros(len(inner), np.int32), np.ones(len(outer), np.int32)]
+    )
+    loaded = loaded_from_arrays(
+        verts,
+        mat_id,
+        mtype=[types.DIFFUSE, types.LIGHT],
+        kd=[[albedo] * 3, [0, 0, 0]],
+        ks=np.zeros((2, 3)),
+        ka=[[0, 0, 0], [emission] * 3],
+        ns=[0.0, 0.0],
+        ni=[1.0, 1.0],
+    )
+    cam = CameraConfig(
+        position=(0, 0, 5), lookat=(0, 0, 0), up=(0, 1, 0), fov=30,
+        resolution=(64, 64),
+    )
+    return loaded, cam
+
+
+def quad_light_plane(light_y: float = 2.0, half: float = 0.5,
+                     emission: float = 4.0, albedo: float = 0.6):
+    """A diffuse ground plane lit by a square area light — closed-form direct
+    illumination at the point under the light's center; exercises NEE/MIS paths
+    against the plain BSDF-sampling estimator (both must agree)."""
+    tris = []
+    mat_id = []
+    g = 50.0
+    tris += _quad((-g, 0, -g), (-g, 0, g), (g, 0, g), (g, 0, -g))
+    mat_id += [0, 0]
+    tris += _quad(
+        (-half, light_y, -half), (half, light_y, -half),
+        (half, light_y, half), (-half, light_y, half),
+    )
+    mat_id += [1, 1]
+    loaded = loaded_from_arrays(
+        np.asarray(tris, np.float32),
+        mat_id,
+        mtype=[types.DIFFUSE, types.LIGHT],
+        kd=[[albedo] * 3, [0, 0, 0]],
+        ks=np.zeros((2, 3)),
+        ka=[[0, 0, 0], [emission] * 3],
+        ns=[0.0, 0.0],
+        ni=[1.0, 1.0],
+    )
+    cam = CameraConfig(
+        position=(0, 1.0, 4.0), lookat=(0, 0.5, 0), up=(0, 1, 0), fov=45,
+        resolution=(64, 64),
+    )
+    return loaded, cam

@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Progressive render driver — the framework's main entry point.
+
+TPU-era replacement for the reference's GLUT window + frame loop
+(``main.cpp:21-23``, ``openglapp.cpp:40-63``, ``OpenCLApp.cpp:57-82``): there is no
+GL on a TPU host, so the "display" is a progressive PNG/HDR/EXR snapshot sink plus
+a live samples/sec + Mrays/s line (the reference prints FPS in the window title,
+``openglapp.cpp:52-56``).  Modes mirror ``main.cpp:11-25``: ``testbvh``/``testall``
+dispatch to the BVH-metrics harness (``tools/bvh_bench.py``), otherwise render.
+
+Usage:
+    python tools/render.py [--config PATH] [--configid N] [--spp N] [--out DIR]
+                           [--snapshot-every N] [--resume]
+
+The config schema is the reference's ``config.json`` (``mcpt.config``).  When the
+scene ``.obj`` is missing (the reference repo gitignores all geometry), an
+``objname`` of the form ``procedural:<name>`` renders a built-in scene
+(``mcpt.scenes``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_from_config(cfg):
+    from mcpt import scenes as procedural
+    from mcpt.io.objloader import load_object
+    from mcpt.scene import build_scene
+
+    name = cfg.objname if isinstance(cfg.objname, str) else cfg.objnames[0]
+    if name.startswith("procedural:"):
+        builder = getattr(procedural, name.split(":", 1)[1])
+        loaded, cam_default = builder()
+        cam_cfg = cfg.camera or cam_default
+    else:
+        loaded = load_object(cfg.directory, name)
+        cam_cfg = cfg.camera
+        if cam_cfg is None:
+            raise SystemExit("config has no camera block")
+    scene, lights = build_scene(loaded, cfg.bvhtype)
+    return scene, lights, cam_cfg
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--config", default="config.json")
+    ap.add_argument("--configid", type=int, default=None)
+    ap.add_argument("--spp", type=int, default=None, help="override 'attempt'")
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--out", default=".", help="output directory")
+    ap.add_argument("--snapshot-every", type=int, default=0,
+                    help="write a progressive PNG every N samples")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="save (sum, count) every N samples for --resume")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the checkpoint in --out")
+    args = ap.parse_args(argv)
+
+    from mcpt.config import load_config
+
+    cfg = load_config(args.config, args.configid)
+
+    if cfg.testall or cfg.testbvh:
+        # mode dispatch parity with main.cpp:12-19
+        from tools import bvh_bench
+
+        return bvh_bench.run_from_config(cfg)
+
+    import jax
+
+    from mcpt.io import image as im
+    from mcpt.render import camera as camera_mod
+    from mcpt.render import integrator as integ
+    from mcpt.types import Framebuffer, make_framebuffer
+
+    scene, lights, cam_cfg = build_from_config(cfg)
+    width = args.width or cfg.width or cam_cfg.resolution[0]
+    height = args.height or cfg.height or cam_cfg.resolution[1]
+    if cam_cfg.resolution != (width, height):
+        import dataclasses
+
+        cam_cfg = dataclasses.replace(cam_cfg, resolution=(width, height))
+    spp = args.spp or cfg.attempt or 64
+    cam = camera_mod.make_camera(cam_cfg)
+
+    opts = integ.RenderOptions(
+        max_depth=cfg.maxdepth or 16,
+        nee=cfg.integrator.nee,
+        mis=cfg.integrator.mis,
+        russian_roulette=cfg.integrator.russian_roulette,
+        rr_start_depth=cfg.integrator.rr_start_depth,
+        method=cfg.intersector,
+    )
+    stem = cfg.output_stem or "render"
+    stem = stem.replace("procedural:", "")
+    os.makedirs(args.out, exist_ok=True)
+    ckpt_path = os.path.join(args.out, f"{stem}.ckpt.npz")
+
+    fb = make_framebuffer(width * height)
+    start_s = 0
+    if args.resume and os.path.exists(ckpt_path):
+        import jax.numpy as jnp
+
+        z = np.load(ckpt_path)
+        fb = Framebuffer(sum=jnp.asarray(z["sum"]), count=jnp.asarray(z["count"]))
+        start_s = int(z["done"])
+        print(f"resumed at {start_s} spp from {ckpt_path}")
+
+    print(
+        f"scene: {scene.n_tris} tris, {lights.count} light tris | "
+        f"{width}x{height} @ {spp} spp, depth {opts.max_depth}, "
+        f"nee={opts.nee} mis={opts.mis} rr={opts.russian_roulette} "
+        f"intersector={opts.method} bvh={cfg.bvhtype} | devices={jax.devices()}"
+    )
+
+    base = jax.random.key(cfg.seed)
+    t0 = time.time()
+    t_last, s_last = t0, start_s
+    for s in range(start_s, spp):
+        radiance = integ.render_sample(
+            scene, lights, cam, width, height, jax.random.fold_in(base, s), opts
+        )
+        fb = integ.accumulate(fb, radiance)
+        done = s + 1
+        now = time.time()
+        if now - t_last > 2.0 or done == spp:
+            jax.block_until_ready(fb.sum)
+            now = time.time()
+            sps = (done - s_last) / max(now - t_last, 1e-9)
+            rays = sps * width * height * opts.max_depth  # upper bound/sample
+            print(
+                f"  {done}/{spp} spp | {sps:6.2f} spp/s | "
+                f"≤{rays/1e6:8.2f} Mrays/s | {now - t0:6.1f}s elapsed",
+                flush=True,
+            )
+            t_last, s_last = now, done
+        if args.snapshot_every and done % args.snapshot_every == 0 and done < spp:
+            img = integ.framebuffer_image(fb, width, height)
+            im.write_png(
+                os.path.join(args.out, f"{stem}.png"), im.tonemap_srgb(img[::-1])
+            )
+        if args.checkpoint_every and done % args.checkpoint_every == 0:
+            np.savez(
+                ckpt_path, sum=np.asarray(fb.sum), count=np.asarray(fb.count),
+                done=done,
+            )
+
+    img = integ.framebuffer_image(fb, width, height)
+    # final outputs: .hdr like the reference (colorout.cpp:63-68) + png + exr
+    im.write_hdr(os.path.join(args.out, f"{stem}.hdr"), img)
+    im.write_png(os.path.join(args.out, f"{stem}.png"), im.tonemap_srgb(img[::-1]))
+    im.write_exr(os.path.join(args.out, f"{stem}.exr"), img[::-1])
+    print(f"Finished Attempting")  # parity with colorout.cpp:65
+    print(f"wrote {stem}.hdr/.png/.exr in {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
