@@ -186,30 +186,62 @@ def trace(scene: Scene, lights: Lights, pool: RayPool, key: jax.Array,
     return final.pool
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "opts"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "opts", "spp"))
+def render_batch(scene: Scene, lights: Lights, cam: Camera, width: int,
+                 height: int, key: jax.Array, opts: RenderOptions,
+                 spp: int = 1) -> jnp.ndarray:
+    """``spp`` samples per pixel in one device program → (W·H, 3) radiance *sum*.
+
+    Batching the sample axis into the ray pool is the TPU replacement for the
+    reference's one-sample-per-frame-tick scheduling (``OpenCLApp.cpp:57-82``):
+    a W·H·spp pool keeps the VPU saturated and amortizes dispatch."""
+    keys = jax.random.split(key, spp)
+
+    def one(k):
+        k_cam, k_path = jax.random.split(k)
+        pool = camera_mod.generate_rays(
+            cam, width, height, key=k_cam, jitter=opts.jitter
+        )
+        pool = trace(scene, lights, pool, k_path, opts)
+        return pool.radiance
+
+    if spp == 1:
+        return one(keys[0])
+    # one flat pool of spp·W·H rays (not vmap: a single big wavefront vectorizes
+    # the bounce loop across samples AND pixels, so partially-dead sample slices
+    # don't serialize)
+    n = width * height
+    k_cams, k_paths = jax.vmap(lambda k: tuple(jax.random.split(k)))(keys)
+    pools = jax.vmap(
+        lambda k: camera_mod.generate_rays(cam, width, height, key=k,
+                                           jitter=opts.jitter)
+    )(k_cams)
+    flat = jax.tree.map(
+        lambda x: x.reshape((spp * n,) + x.shape[2:]), pools
+    )
+    flat = trace(scene, lights, flat, key, opts)
+    return flat.radiance.reshape(spp, n, 3).sum(axis=0)
+
+
 def render_sample(scene: Scene, lights: Lights, cam: Camera, width: int,
                   height: int, key: jax.Array, opts: RenderOptions) -> jnp.ndarray:
     """One sample per pixel → (W·H, 3) radiance."""
-    k_cam, k_path = jax.random.split(key)
-    pool = camera_mod.generate_rays(
-        cam, width, height, key=k_cam, jitter=opts.jitter
-    )
-    pool = trace(scene, lights, pool, k_path, opts)
-    return pool.radiance
+    return render_batch(scene, lights, cam, width, height, key, opts, spp=1)
 
 
-@jax.jit
-def accumulate(fb: Framebuffer, radiance: jnp.ndarray) -> Framebuffer:
+@functools.partial(jax.jit, static_argnames=("spp",))
+def accumulate(fb: Framebuffer, radiance_sum: jnp.ndarray, spp: int = 1) -> Framebuffer:
     """Exact running (sum, count) — unlike the reference's black/saturated-sample
     skipping (``history.cl:15-18``), every sample counts: unbiased mean."""
-    return Framebuffer(sum=fb.sum + radiance, count=fb.count + 1.0)
+    return Framebuffer(sum=fb.sum + radiance_sum, count=fb.count + float(spp))
 
 
 def render(scene: Scene, lights: Lights, cam: Camera, width: int, height: int,
            opts: RenderOptions, spp: int, seed: int = 0,
-           fb: Framebuffer | None = None, progress=None):
+           fb: Framebuffer | None = None, progress=None, spp_per_step: int = 1):
     """Progressive accumulation of ``spp`` samples (host loop ≙ the reference's
-    frame ticks, one sample per tick, ``colorout.cpp:55-62``).
+    frame ticks, one sample per tick, ``colorout.cpp:55-62``; ``spp_per_step``
+    batches several samples per device program).
 
     Returns the framebuffer; ``fb`` may resume a previous render (checkpointing —
     the reference has none across runs, SURVEY §5)."""
@@ -219,11 +251,15 @@ def render(scene: Scene, lights: Lights, cam: Camera, width: int, height: int,
         fb = make_framebuffer(width * height)
     base = jax.random.key(seed)
     start = int(fb.count.max()) if fb.count.size else 0
-    for s in range(start, start + spp):
-        radiance = render_sample(
-            scene, lights, cam, width, height, jax.random.fold_in(base, s), opts
+    s = start
+    while s < start + spp:
+        step = min(spp_per_step, start + spp - s)
+        radiance = render_batch(
+            scene, lights, cam, width, height, jax.random.fold_in(base, s), opts,
+            spp=step,
         )
-        fb = accumulate(fb, radiance)
+        fb = accumulate(fb, radiance, spp=step)
+        s += step
         if progress is not None:
             progress(s, fb)
     return fb

@@ -1,0 +1,159 @@
+"""Integrator physics tests against closed-form oracles + estimator consistency.
+
+These are the golden tests the reference never had (SURVEY §4): the furnace
+identity validates the full pipeline analytically, and the plain-BSDF / NEE /
+NEE+MIS estimators must agree on the same transport integral.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from mcpt.render import camera as cm
+from mcpt.render import integrator as integ
+from mcpt.render.integrator import RenderOptions
+from mcpt.scene import build_scene
+from mcpt.scenes import cornell_box, furnace_sphere, quad_light_plane
+
+
+@pytest.fixture(scope="module")
+def furnace():
+    loaded, camcfg = furnace_sphere(albedo=0.5, emission=1.0, subdiv=2)
+    scene, lights = build_scene(loaded)
+    return scene, lights, cm.make_camera(camcfg)
+
+
+@pytest.fixture(scope="module")
+def quadlight():
+    loaded, camcfg = quad_light_plane()
+    scene, lights = build_scene(loaded)
+    return scene, lights, cm.make_camera(camcfg)
+
+
+def _img(scene, lights, cam, res, opts, spp, seed=0):
+    fb = integ.render(
+        scene, lights, cam, res, res, opts, spp=spp, seed=seed,
+        spp_per_step=spp,
+    )
+    return integ.framebuffer_image(fb, res, res)
+
+
+def test_furnace_identity(furnace):
+    """Convex diffuse body in a uniform emissive enclosure: every camera path
+    hitting the body returns exactly albedo·E; background exactly E."""
+    scene, lights, cam = furnace
+    opts = RenderOptions(max_depth=8, method="bvh")
+    img = _img(scene, lights, cam, 32, opts, spp=2)
+    center = img[16, 16]
+    corner = img[1, 1]
+    np.testing.assert_allclose(center, 0.5, atol=1e-5)
+    np.testing.assert_allclose(corner, 1.0, atol=1e-5)
+
+
+def test_furnace_with_nee_rr(furnace):
+    """NEE + RR must preserve the furnace identity in expectation."""
+    scene, lights, cam = furnace
+    opts = RenderOptions(
+        max_depth=8, method="bvh", nee=True, mis=True, russian_roulette=True,
+        rr_start_depth=2,
+    )
+    img = _img(scene, lights, cam, 16, opts, spp=64)
+    # all pixels view either the sphere (0.5) or background (1.0); the image
+    # mean must match the mean of the analytic per-pixel values
+    opts_ref = RenderOptions(max_depth=8, method="bvh")
+    ref = _img(scene, lights, cam, 16, opts_ref, spp=2)
+    assert abs(img.mean() - ref.mean()) < 0.01
+
+
+def test_estimator_agreement(quadlight):
+    """Plain BSDF sampling at depth d+1 covers the same path space as NEE at
+    depth d; all three estimators must agree within MC error."""
+    scene, lights, cam = quadlight
+    res = 32
+    plain = _img(
+        scene, lights, cam, res,
+        RenderOptions(max_depth=3, method="brute"), spp=512, seed=1,
+    )
+    nee = _img(
+        scene, lights, cam, res,
+        RenderOptions(max_depth=2, method="brute", nee=True), spp=64, seed=2,
+    )
+    mis = _img(
+        scene, lights, cam, res,
+        RenderOptions(max_depth=2, method="brute", nee=True, mis=True),
+        spp=64, seed=3,
+    )
+    assert abs(plain.mean() - nee.mean()) < 0.01 * max(1.0, plain.mean())
+    assert abs(nee.mean() - mis.mean()) < 0.005
+
+
+def test_depth_cut(quadlight):
+    """max_depth=1 sees only direct camera→light hits (shade.cl:199-202
+    semantics: the continuation ray of the last bounce is killed)."""
+    scene, lights, cam = quadlight
+    img = _img(
+        scene, lights, cam, 32,
+        RenderOptions(max_depth=1, method="brute", jitter=False),
+        spp=8, seed=0,
+    )
+    # pixels seeing the light directly read its emission; nothing else lights up
+    vals = np.unique(np.round(img[..., 0], 3))
+    assert set(vals).issubset({0.0, 4.0})
+
+
+def test_loop_modes_agree(quadlight):
+    """fori / while / unroll lowerings of the bounce loop are the same program."""
+    scene, lights, cam = quadlight
+    imgs = {}
+    for loop in ("fori", "while", "unroll"):
+        opts = RenderOptions(max_depth=3, method="brute", nee=True, loop=loop)
+        imgs[loop] = _img(scene, lights, cam, 16, opts, spp=4, seed=5)
+    np.testing.assert_allclose(imgs["fori"], imgs["while"], atol=1e-6)
+    np.testing.assert_allclose(imgs["fori"], imgs["unroll"], atol=1e-6)
+
+
+def test_render_batch_matches_loop(quadlight):
+    """spp-batched rendering must equal the host-loop accumulation in
+    expectation and produce the right sample count."""
+    scene, lights, cam = quadlight
+    opts = RenderOptions(max_depth=2, method="brute", nee=True)
+    fb1 = integ.render(scene, lights, cam, 16, 16, opts, spp=8, seed=7,
+                       spp_per_step=1)
+    fb8 = integ.render(scene, lights, cam, 16, 16, opts, spp=8, seed=7,
+                       spp_per_step=8)
+    assert float(fb1.count[0]) == 8.0 and float(fb8.count[0]) == 8.0
+    # different sample keys → agree statistically, not exactly
+    m1 = np.asarray(fb1.mean).mean()
+    m8 = np.asarray(fb8.mean).mean()
+    assert abs(m1 - m8) < 0.05 * max(m1, 1e-3)
+
+
+def test_checkpoint_resume(quadlight):
+    """Accumulation is resumable: render(4)+render(4 more) ≡ render(8)."""
+    scene, lights, cam = quadlight
+    opts = RenderOptions(max_depth=2, method="brute")
+    fb_a = integ.render(scene, lights, cam, 16, 16, opts, spp=4, seed=11)
+    fb_ab = integ.render(scene, lights, cam, 16, 16, opts, spp=4, seed=11,
+                         fb=fb_a)
+    fb_full = integ.render(scene, lights, cam, 16, 16, opts, spp=8, seed=11)
+    np.testing.assert_allclose(
+        np.asarray(fb_ab.sum), np.asarray(fb_full.sum), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_cornell_box_sanity():
+    loaded, camcfg = cornell_box()
+    scene, lights = build_scene(loaded)
+    import dataclasses
+
+    camcfg = dataclasses.replace(camcfg, resolution=(32, 32))
+    cam = cm.make_camera(camcfg)
+    opts = RenderOptions(max_depth=4, method="brute", nee=True, mis=True)
+    img = _img(scene, lights, cam, 32, opts, spp=8)
+    assert img.mean() > 0.05  # lit
+    mid = 16
+    # red wall on screen-left, blue on screen-right (reference orientation)
+    left = img[mid, 2]
+    right = img[mid, 29]
+    assert left[0] > 2 * left[2], left
+    assert right[2] > 2 * right[0], right

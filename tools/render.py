@@ -126,12 +126,16 @@ def main(argv=None):
     base = jax.random.key(cfg.seed)
     t0 = time.time()
     t_last, s_last = t0, start_s
-    for s in range(start_s, spp):
-        radiance = integ.render_sample(
-            scene, lights, cam, width, height, jax.random.fold_in(base, s), opts
+    step_size = max(1, cfg.spp_per_step)
+    done = start_s
+    while done < spp:
+        step = min(step_size, spp - done)
+        radiance = integ.render_batch(
+            scene, lights, cam, width, height, jax.random.fold_in(base, done),
+            opts, spp=step,
         )
-        fb = integ.accumulate(fb, radiance)
-        done = s + 1
+        fb = integ.accumulate(fb, radiance, spp=step)
+        done += step
         now = time.time()
         if now - t_last > 2.0 or done == spp:
             jax.block_until_ready(fb.sum)
