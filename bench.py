@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Headline benchmark: path-tracing throughput on the Cornell box at 1024².
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md) — the self-established north
+star is ≥500 Mrays/s per chip on cbox 1024².  "Rays" counts *live* ray segments
+actually traced (closest-hit queries on live paths + NEE shadow rays), measured
+by the integrator itself, not the W·H·depth upper bound — dead lanes don't count.
+``vs_baseline`` is value / 500 Mrays/s (ratio vs. the target).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import sys
+import time
+
+
+def main() -> int:
+    import jax
+    import numpy as np
+
+    from mcpt.render import camera as camera_mod
+    from mcpt.render import integrator as integ
+    from mcpt.render.integrator import RenderOptions
+    from mcpt.scene import build_scene
+    from mcpt.scenes import cornell_box
+
+    width = height = 1024
+    spp_per_batch = 4
+    n_batches = 6
+    max_depth = 16  # the reference cbox workload depth (config.json:14)
+
+    loaded, camcfg = cornell_box()
+    camcfg = dataclasses.replace(camcfg, resolution=(width, height))
+    scene, lights = build_scene(loaded)
+    cam = camera_mod.make_camera(camcfg)
+    # reference-parity estimator semantics: pure BSDF sampling (no NEE) so the
+    # traced-segment count is directly comparable with the reference's kernel
+    # launches; RR off; the intersector picks the scene-appropriate fast path.
+    opts = RenderOptions(max_depth=max_depth, method="auto")
+
+    @functools.partial(jax.jit, static_argnames=("spp",))
+    def step(scene, lights, cam, key, spp):
+        keys = jax.random.split(key, spp)
+        pools = jax.vmap(
+            lambda k: camera_mod.generate_rays(cam, width, height, key=k)
+        )(keys)
+        flat = jax.tree.map(
+            lambda x: x.reshape((spp * width * height,) + x.shape[2:]), pools
+        )
+        flat, segments = integ.trace(scene, lights, flat, key, opts,
+                                     with_stats=True)
+        return flat.radiance.reshape(spp, width * height, 3).sum(0), segments
+
+    # warmup + compile
+    rad, seg = step(scene, lights, cam, jax.random.key(0), spp_per_batch)
+    jax.block_until_ready(rad)
+    segments_per_batch = float(seg)
+
+    t0 = time.time()
+    total_segments = 0.0
+    out = None
+    for i in range(n_batches):
+        rad, seg = step(scene, lights, cam, jax.random.key(i + 1), spp_per_batch)
+        total_segments += segments_per_batch  # identical distribution per batch
+    jax.block_until_ready(rad)
+    elapsed = time.time() - t0
+    # use the measured segment count of the last batch for accuracy
+    total_segments = float(seg) * n_batches
+
+    mrays = total_segments / elapsed / 1e6
+    result = {
+        "metric": "cbox 1024x1024 depth-16 path tracing throughput",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 500.0, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

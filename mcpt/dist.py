@@ -1,0 +1,169 @@
+"""Distributed rendering over a TPU device mesh.
+
+The reference is strictly single-process/single-GPU (one in-order
+``cl::CommandQueue``, ``oclbasic.cpp:14,117``) — this module is the *new*
+first-class component SURVEY §2.3 calls for: a ``jax.sharding.Mesh`` with two
+named axes,
+
+- ``"samples"`` — data-parallel over the sample (spp) axis: every shard renders
+  the full image at ``spp / |samples|``, radiance sums are ``psum``-reduced over
+  ICI (the renderer's DP axis);
+- ``"pixels"``  — spatial sharding of the framebuffer: each shard owns a
+  contiguous pixel slice and only ever touches its slice (the renderer's SP/TP
+  axis; no collective needed until host gather).
+
+Scene, BVH, materials and camera are replicated (they are small: ≤ a few hundred
+MB even for san-miguel-class scenes), the ray pool and framebuffer are sharded.
+The per-device program is the same wavefront ``trace`` used single-chip — the
+whole render step is ``shard_map``-ped and jit-compiled once.
+
+Determinism: RNG keys are folded per (sample-shard, pixel-shard), so the
+rendered image is a deterministic function of (seed, mesh shape), and the
+``samples``-axis psum is the only cross-device communication per step.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mcpt.render import camera as camera_mod
+from mcpt.render import integrator as integ
+from mcpt.scene import Lights, Scene
+from mcpt.types import Camera, Framebuffer
+
+
+def make_mesh(samples: int = 1, pixels: int | None = None,
+              devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """Build a ("samples", "pixels") mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if pixels is None:
+        assert n % samples == 0, (n, samples)
+        pixels = n // samples
+    assert samples * pixels == n, (samples, pixels, n)
+    arr = np.asarray(devices).reshape(samples, pixels)
+    return Mesh(arr, axis_names=("samples", "pixels"))
+
+
+def _pad_to(n: int, mult: int) -> int:
+    return ((n + mult - 1) // mult) * mult
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "opts", "spp", "mesh"),
+)
+def render_batch_sharded(
+    scene: Scene,
+    lights: Lights,
+    cam: Camera,
+    width: int,
+    height: int,
+    key: jax.Array,
+    opts: integ.RenderOptions,
+    spp: int,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """One sharded render step → (W·H, 3) radiance *sum* over ``spp`` samples,
+    laid out sharded over the ``pixels`` axis (replicated over ``samples``).
+
+    ``spp`` must divide by the samples-axis size; the pixel count is padded up to
+    the pixels-axis size internally (static shapes — SURVEY §7 "dynamic-shape
+    allergy").
+    """
+    d_s = mesh.shape["samples"]
+    d_p = mesh.shape["pixels"]
+    assert spp % d_s == 0, f"spp {spp} not divisible by samples axis {d_s}"
+    spp_local = spp // d_s
+    n = width * height
+    n_pad = _pad_to(n, d_p)
+    local_n = n_pad // d_p
+
+    def step(scene, lights, cam, key):
+        si = jax.lax.axis_index("samples")
+        pi = jax.lax.axis_index("pixels")
+        k_dev = jax.random.fold_in(jax.random.fold_in(key, si), pi)
+
+        pix = pi * local_n + jnp.arange(local_n, dtype=jnp.int32)
+        pix = jnp.minimum(pix, n - 1)  # padded tail re-renders the last pixel
+
+        k_all = jax.random.split(k_dev, spp_local)
+        k_cams, k_paths = jax.vmap(lambda k: tuple(jax.random.split(k)))(k_all)
+        pools = jax.vmap(
+            lambda k: camera_mod.generate_rays_for_pixels(
+                cam, width, height, pix, key=k, jitter=opts.jitter
+            )
+        )(k_cams)
+        flat = jax.tree.map(
+            lambda x: x.reshape((spp_local * local_n,) + x.shape[2:]), pools
+        )
+        flat = integ.trace(scene, lights, flat, k_dev, opts)
+        local_sum = flat.radiance.reshape(spp_local, local_n, 3).sum(axis=0)
+        # DP reduction: radiance sums ride ICI over the samples axis
+        return jax.lax.psum(local_sum, axis_name="samples")
+
+    out = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P("pixels"),
+        # the wavefront loops build carries from constants; skip the
+        # varying-manual-axes bookkeeping (correctness is covered by tests)
+        check_vma=False,
+    )(scene, lights, cam, key)
+    return out[:n]
+
+
+def render_sharded(
+    scene: Scene,
+    lights: Lights,
+    cam: Camera,
+    width: int,
+    height: int,
+    opts: integ.RenderOptions,
+    spp: int,
+    mesh: Mesh,
+    seed: int = 0,
+    fb: Framebuffer | None = None,
+    spp_per_step: int | None = None,
+    progress=None,
+) -> Framebuffer:
+    """Progressive sharded accumulation (multi-chip analogue of
+    ``integ.render``)."""
+    from mcpt.types import make_framebuffer
+
+    d_s = mesh.shape["samples"]
+    if spp_per_step is None:
+        spp_per_step = d_s
+    assert spp_per_step % d_s == 0
+    if fb is None:
+        fb = make_framebuffer(width * height)
+    base = jax.random.key(seed)
+    start = int(fb.count.max()) if fb.count.size else 0
+    s = start
+    while s < start + spp:
+        step = min(spp_per_step, start + spp - s)
+        step = max(d_s, (step // d_s) * d_s)
+        radiance = render_batch_sharded(
+            scene, lights, cam, width, height, jax.random.fold_in(base, s),
+            opts, step, mesh,
+        )
+        fb = integ.accumulate(fb, radiance, spp=step)
+        s += step
+        if progress is not None:
+            progress(s, fb)
+    return fb
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree replicated over the mesh (scene/BVH/materials/camera)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)

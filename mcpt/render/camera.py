@@ -80,8 +80,23 @@ def generate_rays(
     throughput the same way each attempt (``rayGenerator.cl:29-30``,
     ``OpenCLApp.cpp:63``).
     """
-    n = width * height
-    pix = jnp.arange(n, dtype=jnp.int32)
+    pix = jnp.arange(width * height, dtype=jnp.int32)
+    return generate_rays_for_pixels(camera, width, height, pix, key=key,
+                                    jitter=jitter)
+
+
+def generate_rays_for_pixels(
+    camera: Camera,
+    width: int,
+    height: int,
+    pix: jnp.ndarray,
+    key: jax.Array | None = None,
+    jitter: bool = True,
+) -> RayPool:
+    """Primary rays for an explicit pixel-id slice — the building block for
+    pixel-sharded rendering across a device mesh (each shard passes its own ids;
+    no reference counterpart, the reference is single-device)."""
+    n = pix.shape[0]
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
     if jitter and key is not None:

@@ -101,11 +101,16 @@ class _LoopState(NamedTuple):
     pool: RayPool
     prev_scatter: jnp.ndarray  # (R,) — previous bounce sampled a non-delta BSDF
     prev_pdf: jnp.ndarray  # (R,) — its solid-angle pdf (for MIS at light hits)
+    segments: jnp.ndarray  # () f32 — live ray segments traced (incl. shadow rays)
 
 
 def trace(scene: Scene, lights: Lights, pool: RayPool, key: jax.Array,
-          opts: RenderOptions) -> RayPool:
-    """Run the bounce loop to termination; returns the final pool (radiance set)."""
+          opts: RenderOptions, with_stats: bool = False):
+    """Run the bounce loop to termination; returns the final pool (radiance set).
+
+    ``with_stats=True`` also returns the number of live ray segments traced
+    (closest-hit queries on live paths + NEE shadow rays) — the honest
+    numerator for a Mrays/s metric."""
     r = pool.count
     use_nee = opts.nee and lights.count > 0
 
@@ -150,18 +155,21 @@ def trace(scene: Scene, lights: Lights, pool: RayPool, key: jax.Array,
         )
         new_pool = res.pool
 
+        segments = state.segments + jnp.sum(pool.alive.astype(jnp.float32))
         if use_nee:
             delta = _nee_contribution(scene, lights, res, hit.point, wo, kn_, opts)
             # NEE uses the throughput *before* this bounce's BSDF weight
             new_pool = new_pool._replace(
                 radiance=new_pool.radiance + pool.throughput * delta
             )
+            segments = segments + jnp.sum(res.scatter.astype(jnp.float32))
 
         return _LoopState(
             depth=state.depth + 1,
             pool=new_pool,
             prev_scatter=res.scatter,
             prev_pdf=res.bsdf_pdf,
+            segments=segments,
         )
 
     def cond(state: _LoopState):
@@ -172,6 +180,7 @@ def trace(scene: Scene, lights: Lights, pool: RayPool, key: jax.Array,
         pool=pool,
         prev_scatter=jnp.zeros((r,), bool),
         prev_pdf=jnp.zeros((r,), jnp.float32),
+        segments=jnp.float32(0.0),
     )
     if opts.loop == "while":
         final = jax.lax.while_loop(cond, body, init)
@@ -183,6 +192,8 @@ def trace(scene: Scene, lights: Lights, pool: RayPool, key: jax.Array,
             final = body(final)
     else:
         raise ValueError(f"unknown loop mode {opts.loop!r}")
+    if with_stats:
+        return final.pool, final.segments
     return final.pool
 
 

@@ -168,12 +168,16 @@ def intersect_bvh(
     root_hit, _ = _slab(bvh.bbmin[0], bvh.bbmax[0], origin, inv_dir, jnp.inf)
     start = active & root_hit
 
-    stack0 = jnp.zeros((r, max_stack), jnp.int32)
+    # Derive the initial carry from the inputs (+0 terms XLA folds away) so its
+    # "varying" manual-axes type matches the loop body's under shard_map — a
+    # constant init would be unvarying and fail lax.while_loop's carry check.
+    zero_f = origin[:, 0] * 0.0
+    zero_i = zero_f.astype(jnp.int32)
     state = _TravState(
-        stack=stack0,
+        stack=jnp.zeros((r, max_stack), jnp.int32) + zero_i[:, None],
         sp=start.astype(jnp.int32),
-        t=jnp.full((r,), jnp.inf, jnp.float32),
-        tri=jnp.full((r,), -1, jnp.int32),
+        t=zero_f + jnp.inf,
+        tri=zero_i - 1,
     )
 
     if n == 1:

@@ -1,0 +1,80 @@
+"""Multi-device sharded rendering on the virtual 8-CPU mesh (SURVEY §4: test
+multi-node without a cluster).  The sharded result must agree with single-device
+rendering in expectation, and the furnace identity must hold exactly per shard."""
+
+import jax
+import numpy as np
+import pytest
+
+from mcpt import dist
+from mcpt.render import camera as cm
+from mcpt.render import integrator as integ
+from mcpt.render.integrator import RenderOptions
+from mcpt.scene import build_scene
+from mcpt.scenes import furnace_sphere, quad_light_plane
+
+
+@pytest.fixture(scope="module")
+def furnace():
+    loaded, camcfg = furnace_sphere(albedo=0.5, emission=1.0, subdiv=2)
+    scene, lights = build_scene(loaded)
+    return scene, lights, cm.make_camera(camcfg)
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (8, 1), (2, 4), (4, 2)])
+def test_mesh_shapes(shape):
+    mesh = dist.make_mesh(samples=shape[0], pixels=shape[1])
+    assert mesh.shape == {"samples": shape[0], "pixels": shape[1]}
+
+
+def test_furnace_sharded_exact(furnace):
+    """The zero-variance furnace scene must give the exact analytic answer
+    through the full sharded path (psum over samples, pixel slicing)."""
+    scene, lights, cam = furnace
+    mesh = dist.make_mesh(samples=2, pixels=4)
+    opts = RenderOptions(max_depth=8, method="bvh")
+    w = h = 20  # 400 pixels: not divisible by 4 → exercises padding
+    rad = dist.render_batch_sharded(
+        scene, lights, cam, w, h, jax.random.key(0), opts, spp=4, mesh=mesh
+    )
+    img = np.asarray(rad).reshape(h, w, 3) / 4.0
+    np.testing.assert_allclose(img[h // 2, w // 2], 0.5, atol=1e-5)
+    np.testing.assert_allclose(img[1, 1], 1.0, atol=1e-5)
+
+
+def test_sharded_matches_single_device():
+    loaded, camcfg = quad_light_plane()
+    scene, lights = build_scene(loaded)
+    cam = cm.make_camera(camcfg)
+    opts = RenderOptions(max_depth=3, method="brute", nee=True, mis=True)
+    w = h = 24
+    spp = 32
+    mesh = dist.make_mesh(samples=4, pixels=2)
+    fb_sh = dist.render_sharded(
+        scene, lights, cam, w, h, opts, spp=spp, mesh=mesh, seed=0,
+        spp_per_step=spp,
+    )
+    fb_1 = integ.render(
+        scene, lights, cam, w, h, opts, spp=spp, seed=1, spp_per_step=spp
+    )
+    m_sh = np.asarray(fb_sh.mean).mean()
+    m_1 = np.asarray(fb_1.mean).mean()
+    assert float(fb_sh.count[0]) == spp
+    assert abs(m_sh - m_1) < 0.05 * max(m_1, 1e-3)
+
+
+def test_sharded_deterministic(furnace):
+    scene, lights, cam = furnace
+    mesh = dist.make_mesh(samples=2, pixels=4)
+    opts = RenderOptions(max_depth=4, method="bvh")
+    a = dist.render_batch_sharded(
+        scene, lights, cam, 16, 16, jax.random.key(3), opts, spp=2, mesh=mesh
+    )
+    b = dist.render_batch_sharded(
+        scene, lights, cam, 16, 16, jax.random.key(3), opts, spp=2, mesh=mesh
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
