@@ -40,37 +40,28 @@ def main() -> int:
     cam = camera_mod.make_camera(camcfg)
     # reference-parity estimator semantics: pure BSDF sampling (no NEE) so the
     # traced-segment count is directly comparable with the reference's kernel
-    # launches; RR off; the intersector picks the scene-appropriate fast path.
-    opts = RenderOptions(max_depth=max_depth, method="auto")
+    # launches; RR off.  Small scenes render through the Pallas megakernel
+    # (mcpt/pallas/megakernel.py); the wavefront path covers everything else.
+    from mcpt.pallas import megakernel as mk
 
-    @functools.partial(jax.jit, static_argnames=("spp",))
-    def step(scene, lights, cam, key, spp):
-        keys = jax.random.split(key, spp)
-        pools = jax.vmap(
-            lambda k: camera_mod.generate_rays(cam, width, height, key=k)
-        )(keys)
-        flat = jax.tree.map(
-            lambda x: x.reshape((spp * width * height,) + x.shape[2:]), pools
+    mega = mk.build_megascene(scene)
+
+    def step(seed):
+        return mk.render_mega(
+            mega, cam, width, height, spp=spp_per_batch, seed=seed,
+            max_depth=max_depth,
         )
-        flat, segments = integ.trace(scene, lights, flat, key, opts,
-                                     with_stats=True)
-        return flat.radiance.reshape(spp, width * height, 3).sum(0), segments
 
     # warmup + compile
-    rad, seg = step(scene, lights, cam, jax.random.key(0), spp_per_batch)
+    rad, seg = step(0)
     jax.block_until_ready(rad)
-    segments_per_batch = float(seg)
 
     t0 = time.time()
-    total_segments = 0.0
-    out = None
     for i in range(n_batches):
-        rad, seg = step(scene, lights, cam, jax.random.key(i + 1), spp_per_batch)
-        total_segments += segments_per_batch  # identical distribution per batch
-    jax.block_until_ready(rad)
+        rad, seg = step(i + 1)
+        seg_f = float(seg)  # forces completion of this batch
     elapsed = time.time() - t0
-    # use the measured segment count of the last batch for accuracy
-    total_segments = float(seg) * n_batches
+    total_segments = seg_f * n_batches
 
     mrays = total_segments / elapsed / 1e6
     result = {

@@ -1,0 +1,580 @@
+"""Pallas TPU megakernel: the entire path-trace loop fused into one kernel.
+
+Where the reference runs one OpenCL kernel per stage per bounce with all ray
+state round-tripping through GPU global memory (``OpenCLApp.cpp:57-82``:
+raygen → MAXDEPTH × {intersect, shade} → accumulate), this kernel keeps a block
+of rays *entirely in VMEM* for their whole lifetime: camera ray generation,
+every intersection test, BSDF sampling, and radiance accumulation happen
+without touching HBM until the final per-ray radiance writeout.  HBM traffic
+per ray drops from ~KB (wavefront) to 12 bytes.
+
+Scope: "small" scenes whose triangle + material tables fit VMEM (T ≤ ~4096 —
+covers cbox/veach-class scenes; large scenes use the wavefront + BVH path).
+Intersection uses the precomputed Wald transforms (``types.WaldTris``), the
+per-triangle loop is a `fori_loop` over VMEM scalar reads, and the bounce loop
+is a `while_loop` with a block-wide any-alive early exit — the TPU analogue of
+warp-coherent termination (camera rays in a block are spatially coherent, so
+whole blocks retire early together).
+
+RNG is the native per-core PRNG (`pltpu.prng_random_bits`), seeded per
+(block, sample-batch) — replacing both the reference's LCG (``shade.cl:1-6``)
+and the wavefront path's threefry draws.
+
+Design constraints verified against this environment's Mosaic compiler: no
+boolean vectors in loop carries (f32 0/1 masks instead), fori + scalar VMEM
+reads, while_loop with f32 vector carries and an `any()` scalar condition.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mcpt import types as T
+
+# Block geometry: SUB×128 rays per grid step.
+SUB = 32
+BLK = SUB * 128
+
+_U32_TO_UNIT = 1.0 / 4294967296.0  # map uint32 → [0, 1)
+
+# tri_ref row layout (T_pad, 16):
+#   0:9  A row-major (o'_j = A[j,0]ox + A[j,1]oy + A[j,2]oz + b_j)
+#   9:12 b
+#   12:15 geometric normal (unit)
+# matt_ref row layout (T_pad, 16):
+#   0:3 kd, 3:6 ks, 6:9 ka, 9 ns, 10 ni, 11 mtype (as f32)
+
+# bounce-loop lowering inside the kernel: "while" gives whole-block early exit
+# when every ray is dead; "fori" is the fallback (set by probing Mosaic support)
+_BOUNCE_LOOP = "while"
+
+_MTYPE_DIFFUSE = float(T.DIFFUSE)
+_MTYPE_GLOSSY = float(T.GLOSSY)
+_MTYPE_TRANSPARENT = float(T.TRANSPARENT)
+_MTYPE_LIGHT = float(T.LIGHT)
+
+
+# murmur3 fmix32 constants as wrapped int32 literals (numpy scalars, NOT jax
+# arrays — jax arrays at module scope become captured consts in pallas kernels)
+_C1 = np.int32(0x85EBCA6B - (1 << 32))
+_C2 = np.int32(0xC2B2AE35 - (1 << 32))
+_GR = np.int32(0x9E3779B1 - (1 << 32))
+
+
+def _fmix32(h):
+    """murmur3 finalizer — works on scalars and vectors, int32 wraparound."""
+    h = jnp.bitwise_xor(h, jax.lax.shift_right_logical(h, 16))
+    h = h * _C1
+    h = jnp.bitwise_xor(h, jax.lax.shift_right_logical(h, 13))
+    h = h * _C2
+    h = jnp.bitwise_xor(h, jax.lax.shift_right_logical(h, 16))
+    return h
+
+
+def _u01(seed, salt, idx):
+    """Counter-based uniform in [0, 1): hash of (seed, salt, ray index).
+
+    A stateless per-lane RNG in plain vector int ops — platform-independent
+    (works identically compiled and interpreted; ``pltpu.prng_random_bits``
+    returns zeros under the interpreter), stateless like threefry, and far
+    cheaper.  Replaces the reference's per-pixel LCG (``shade.cl:1-6``)."""
+    h = _fmix32(seed + salt * _GR)
+    h = _fmix32(jnp.bitwise_xor(idx * _GR, h))
+    mant = jnp.bitwise_and(h, 0x7FFFFF)
+    return mant.astype(jnp.float32) * (1.0 / 8388608.0)
+
+
+def _pow(x, n):
+    """x**n for x ∈ (0, 1], vector n — exp/log form (Mosaic-friendly)."""
+    return jnp.exp(n * jnp.log(jnp.maximum(x, 1e-12)))
+
+
+def _normalize3(x, y, z):
+    inv = jax.lax.rsqrt(x * x + y * y + z * z + 1e-20)
+    return x * inv, y * inv, z * inv
+
+
+def _onb(nx, ny, nz):
+    """Branchless ONB (Duff et al.) — vector form of shade.build_onb."""
+    s = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + nz)
+    b = nx * ny * a
+    t1x = 1.0 + s * nx * nx * a
+    t1y = s * b
+    t1z = -s * nx
+    t2x = b
+    t2y = s + ny * ny * a
+    t2z = -ny
+    return (t1x, t1y, t1z), (t2x, t2y, t2z)
+
+
+# Scenes up to this size get a triangle-unrolled kernel specialization: all
+# per-triangle scalars are read from VMEM ONCE before the bounce loop (they are
+# loop-invariant) and the intersect/resolve loops are fully unrolled — per-
+# iteration scalar loads inside the hot loop are the dominant cost otherwise.
+UNROLL_MAX_TRIS = 128
+
+
+def _make_render_kernel(static_tris: int | None):
+    def kernel(si_ref, sf_ref, tri_ref, matt_ref, r_ref, g_ref, b_ref,
+               seg_ref):
+        return _render_body(static_tris, si_ref, sf_ref, tri_ref, matt_ref,
+                            r_ref, g_ref, b_ref, seg_ref)
+
+    return kernel
+
+
+def _render_body(static_tris, si_ref, sf_ref, tri_ref, matt_ref, r_ref, g_ref,
+                 b_ref, seg_ref):
+    """One block of BLK rays, full path trace.
+
+    si_ref (SMEM i32): 0 width, 1 height, 2 n_tris, 3 max_depth, 4 seed,
+                       5 rr_enabled, 6 rr_start_depth, 7 n_pixels
+    sf_ref (SMEM f32): 0:3 cam pos, 3:6 fwd, 6:9 right, 9:12 up,
+                       12 half_w, 13 half_h, 14 eps, 15 t_min
+    """
+    blk = pl.program_id(0)
+    width = si_ref[0]
+    n_tris = si_ref[2]
+    max_depth = si_ref[3]
+    seed = si_ref[4]
+
+    # hoisted loop-invariant per-triangle scalars (unrolled specialization)
+    if static_tris is not None:
+        tri_c = [[tri_ref[t, j] for j in range(15)] for t in range(static_tris)]
+        mat_c = [[matt_ref[t, j] for j in range(12)] for t in range(static_tris)]
+
+    n_pixels = si_ref[7]
+    row = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
+    ray_idx = blk * BLK + row * 128 + col
+    pixel = jax.lax.rem(ray_idx, n_pixels)
+    pxi = jax.lax.rem(pixel, width)
+    pyi = jax.lax.div(pixel, width)
+
+    # --- camera ray generation (rayGenerator.cl:13-21 pinhole math) ---
+    fx = pxi.astype(jnp.float32) + _u01(seed, jnp.int32(1), ray_idx)
+    fy = pyi.astype(jnp.float32) + _u01(seed, jnp.int32(2), ray_idx)
+    w_f = width.astype(jnp.float32)
+    h_f = si_ref[1].astype(jnp.float32)
+    sx = fx / w_f - 0.5
+    sy = fy / h_f - 0.5
+    half_w = sf_ref[12]
+    half_h = sf_ref[13]
+    dx = sf_ref[3] + 2.0 * sx * half_w * sf_ref[6] + 2.0 * sy * half_h * sf_ref[9]
+    dy = sf_ref[4] + 2.0 * sx * half_w * sf_ref[7] + 2.0 * sy * half_h * sf_ref[10]
+    dz = sf_ref[5] + 2.0 * sx * half_w * sf_ref[8] + 2.0 * sy * half_h * sf_ref[11]
+    dx, dy, dz = _normalize3(dx, dy, dz)
+    # iota-derived zeros: forces a standard (non-replicated) vector layout on
+    # every loop-carry init — broadcast-constant inits trip a Mosaic relayout
+    # bug ("non-singleton dimension replicated in destination") in this kernel
+    zeros = (row + col).astype(jnp.float32) * 0.0
+    ox = zeros + sf_ref[0]
+    oy = zeros + sf_ref[1]
+    oz = zeros + sf_ref[2]
+
+    eps = sf_ref[14]
+    t_min = sf_ref[15]
+
+    state = (
+        jnp.int32(0),  # depth
+        ox, oy, oz, dx, dy, dz,
+        zeros + 1.0, zeros + 1.0, zeros + 1.0,  # throughput
+        zeros, zeros, zeros,  # radiance
+        zeros + 1.0,  # alive (f32 mask)
+        zeros,  # inside (f32 mask)
+        zeros,  # live-segment counter
+    )
+
+    def cond(s):
+        depth, alive = s[0], s[13]
+        return (depth < max_depth) & jnp.any(alive > 0.0)
+
+    def bounce(s):
+        (depth, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive,
+         inside, segs) = s
+
+        # ---- intersect: closest hit over all triangles (Wald transforms) ----
+        def tri_body(t, acc):
+            bt, bi = acc
+            a00 = tri_ref[t, 0]
+            a01 = tri_ref[t, 1]
+            a02 = tri_ref[t, 2]
+            a10 = tri_ref[t, 3]
+            a11 = tri_ref[t, 4]
+            a12 = tri_ref[t, 5]
+            a20 = tri_ref[t, 6]
+            a21 = tri_ref[t, 7]
+            a22 = tri_ref[t, 8]
+            b0 = tri_ref[t, 9]
+            b1 = tri_ref[t, 10]
+            b2 = tri_ref[t, 11]
+            opz = a20 * ox + a21 * oy + a22 * oz + b2
+            dpz = a20 * dx + a21 * dy + a22 * dz
+            th = -opz / dpz
+            opx = a00 * ox + a01 * oy + a02 * oz + b0
+            dpx = a00 * dx + a01 * dy + a02 * dz
+            u = opx + th * dpx
+            opy = a10 * ox + a11 * oy + a12 * oz + b1
+            dpy = a10 * dx + a11 * dy + a12 * dz
+            v = opy + th * dpy
+            ok = (
+                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (th > t_min) & (th < bt)
+            )
+            bt = jnp.where(ok, th, bt)
+            bi = jnp.where(ok, t, bi)
+            return bt, bi
+
+        def tri_body_unrolled(t, acc):
+            bt, bi = acc
+            c = tri_c[t]
+            opz = c[6] * ox + c[7] * oy + c[8] * oz + c[11]
+            dpz = c[6] * dx + c[7] * dy + c[8] * dz
+            th = -opz / dpz
+            opx = c[0] * ox + c[1] * oy + c[2] * oz + c[9]
+            dpx = c[0] * dx + c[1] * dy + c[2] * dz
+            u = opx + th * dpx
+            opy = c[3] * ox + c[4] * oy + c[5] * oz + c[10]
+            dpy = c[3] * dx + c[4] * dy + c[5] * dz
+            v = opy + th * dpy
+            ok = (
+                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (th > t_min) & (th < bt)
+            )
+            return jnp.where(ok, th, bt), jnp.where(ok, t, bi)
+
+        init_ti = (zeros + 3.0e38, jnp.zeros((SUB, 128), jnp.int32))
+        if static_tris is not None:
+            acc = init_ti
+            for t in range(static_tris):
+                acc = tri_body_unrolled(t, acc)
+            best_t, best_i = acc
+        else:
+            best_t, best_i = jax.lax.fori_loop(0, n_tris, tri_body, init_ti)
+        hit = (best_t < 3.0e38) & (alive > 0.0)
+        segs = segs + alive
+
+        # ---- resolve per-hit constants: second pass, select by best_i ----
+        _offs = [(0, 12), (0, 13), (0, 14),
+                 (1, 0), (1, 1), (1, 2), (1, 3), (1, 4), (1, 5),
+                 (1, 6), (1, 7), (1, 8), (1, 9), (1, 10), (1, 11)]
+
+        def res_body(t, acc):
+            sel = best_i == t
+            refs = (tri_ref, matt_ref)
+            return tuple(
+                jnp.where(sel, refs[r][t, off], acc[j])
+                for j, (r, off) in enumerate(_offs)
+            )
+
+        def res_body_unrolled(t, acc):
+            sel = best_i == t
+            consts = (tri_c[t], mat_c[t])
+            return tuple(
+                jnp.where(sel, consts[r][off], acc[j])
+                for j, (r, off) in enumerate(_offs)
+            )
+
+        init_res = tuple(zeros for _ in range(15))
+        if static_tris is not None:
+            resolved = init_res
+            for t in range(static_tris):
+                resolved = res_body_unrolled(t, resolved)
+        else:
+            resolved = jax.lax.fori_loop(0, n_tris, res_body, init_res)
+        (nx, ny, nz, kdx, kdy, kdz, ksx, ksy, ksz, kax, kay, kaz, ns_, ni_,
+         mtype) = resolved
+
+        # flip normal to face the ray (intersect.cl:23-25)
+        ndotd = nx * dx + ny * dy + nz * dz
+        flip = jnp.where(ndotd < 0.0, 1.0, -1.0)
+        nx = nx * flip
+        ny = ny * flip
+        nz = nz * flip
+
+        hx = ox + best_t * dx
+        hy = oy + best_t * dy
+        hz = oz + best_t * dz
+
+        is_lite = hit & (mtype == _MTYPE_LIGHT)
+        is_diff = hit & (mtype == _MTYPE_DIFFUSE)
+        is_glos = hit & (mtype == _MTYPE_GLOSSY)
+        is_tran = hit & (mtype == _MTYPE_TRANSPARENT)
+
+        # ---- LIGHT: gather emission, terminate (shade.cl:155-158) ----
+        lmask = is_lite.astype(jnp.float32)
+        rr = rr + lmask * tr * kax
+        rg = rg + lmask * tg * kay
+        rb = rb + lmask * tb * kaz
+
+        salt0 = 8 * depth + 3
+        u1 = _u01(seed, salt0, ray_idx)
+        u2 = _u01(seed, salt0 + 1, ray_idx)
+        u3 = _u01(seed, salt0 + 2, ray_idx)
+        u4 = _u01(seed, salt0 + 3, ray_idx)
+
+        # ---- diffuse / glossy: cosine or phong-lobe sample ----
+        (t1x, t1y, t1z), (t2x, t2y, t2z) = _onb(nx, ny, nz)
+        r_ = jnp.sqrt(u1)
+        phi = 6.2831853 * u2
+        cphi = jnp.cos(phi)
+        sphi = jnp.sin(phi)
+        zc = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+        wdx = r_ * cphi * t1x + r_ * sphi * t2x + zc * nx
+        wdy = r_ * cphi * t1y + r_ * sphi * t2y + zc * ny
+        wdz = r_ * cphi * t1z + r_ * sphi * t2z + zc * nz
+
+        # mirror of incoming d about n
+        mdx = dx - 2.0 * ndotd * flip * nx
+        mdy = dy - 2.0 * ndotd * flip * ny
+        mdz = dz - 2.0 * ndotd * flip * nz
+        (p1x, p1y, p1z), (p2x, p2y, p2z) = _onb(mdx, mdy, mdz)
+        cos_a = _pow(jnp.maximum(u1, 1e-12), 1.0 / (ns_ + 1.0))
+        sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+        wpx = sin_a * cphi * p1x + sin_a * sphi * p2x + cos_a * mdx
+        wpy = sin_a * cphi * p1y + sin_a * sphi * p2y + cos_a * mdy
+        wpz = sin_a * cphi * p1z + sin_a * sphi * p2z + cos_a * mdz
+
+        pick_phong = is_glos & (u3 < 0.5)
+        sxd = jnp.where(pick_phong, wpx, wdx)
+        syd = jnp.where(pick_phong, wpy, wdy)
+        szd = jnp.where(pick_phong, wpz, wdz)
+
+        cos_i = sxd * nx + syd * ny + szd * nz
+        up_ok = cos_i > 0.0
+        cos_ar = jnp.maximum(sxd * mdx + syd * mdy + szd * mdz, 0.0)
+        pow_ns = _pow(cos_ar, ns_)
+        inv_2pi = 0.15915494
+        pdf_d = jnp.maximum(cos_i, 0.0) * (1.0 / jnp.pi)
+        pdf_p = (ns_ + 1.0) * inv_2pi * pow_ns
+        pdf_mix = 0.5 * pdf_d + 0.5 * pdf_p
+        phong_f = (ns_ + 2.0) * inv_2pi * pow_ns
+        scale_g = jnp.maximum(cos_i, 0.0) / jnp.maximum(pdf_mix, 1e-12)
+        # glossy weight per channel: (kd/π + ks·phong_f)·cosθ/pdf_mix
+        wgx = (kdx * (1.0 / jnp.pi) + ksx * phong_f) * scale_g
+        wgy = (kdy * (1.0 / jnp.pi) + ksy * phong_f) * scale_g
+        wgz = (kdz * (1.0 / jnp.pi) + ksz * phong_f) * scale_g
+        # diffuse weight = kd
+        wrx = jnp.where(is_glos, wgx, kdx)
+        wry = jnp.where(is_glos, wgy, kdy)
+        wrz = jnp.where(is_glos, wgz, kdz)
+        ok_f = jnp.where(up_ok, 1.0, 0.0)
+        wrx = wrx * ok_f
+        wry = wry * ok_f
+        wrz = wrz * ok_f
+
+        # ---- transparent: Schlick coin between refraction and mirror ----
+        eta_i = jnp.where(inside > 0.0, ni_, 1.0)
+        eta_t = jnp.where(inside > 0.0, 1.0, ni_)
+        eta = eta_i / eta_t
+        n_dot_i = -(nx * dx + ny * dy + nz * dz)
+        k_ = 1.0 - eta * eta * (1.0 - n_dot_i * n_dot_i)
+        tir = k_ < 0.0
+        sq = jnp.sqrt(jnp.maximum(k_, 0.0))
+        txd = (eta * n_dot_i - sq) * nx + eta * dx
+        tyd = (eta * n_dot_i - sq) * ny + eta * dy
+        tzd = (eta * n_dot_i - sq) * nz + eta * dz
+        txd, tyd, tzd = _normalize3(txd, tyd, tzd)
+        cos_for_f = jnp.where(
+            eta_i <= eta_t, n_dot_i, -(txd * nx + tyd * ny + tzd * nz)
+        )
+        r0 = ((ni_ - 1.0) / (ni_ + 1.0)) ** 2
+        one_m = jnp.clip(1.0 - jnp.abs(cos_for_f), 0.0, 1.0)
+        p5 = one_m * one_m
+        p5 = p5 * p5 * one_m
+        fresnel = r0 + (1.0 - r0) * p5
+        coin_refl = u4 < fresnel
+        do_refr = is_tran & (~tir) & (~coin_refl)
+        refrf = do_refr.astype(jnp.float32)
+        ttx = jnp.where(do_refr, txd, mdx)
+        tty = jnp.where(do_refr, tyd, mdy)
+        ttz = jnp.where(do_refr, tzd, mdz)
+        w_tran = jnp.where(do_refr, eta * eta, 1.0)
+        inside = jnp.where(is_tran, (1.0 - inside) * refrf + inside * (1.0 - refrf),
+                           inside)
+
+        # ---- compose next ray ----
+        ndx = jnp.where(is_tran, ttx, sxd)
+        ndy = jnp.where(is_tran, tty, syd)
+        ndz = jnp.where(is_tran, ttz, szd)
+        wx = jnp.where(is_tran, w_tran, wrx)
+        wy = jnp.where(is_tran, w_tran, wry)
+        wz = jnp.where(is_tran, w_tran, wrz)
+        scatterish = is_diff | is_glos | is_tran
+        smask = scatterish.astype(jnp.float32)
+        tr = tr * (wx * smask + (1.0 - smask))
+        tg = tg * (wy * smask + (1.0 - smask))
+        tb = tb * (wz * smask + (1.0 - smask))
+
+        ox = jnp.where(scatterish, hx + eps * ndx, ox)
+        oy = jnp.where(scatterish, hy + eps * ndy, oy)
+        oz = jnp.where(scatterish, hz + eps * ndz, oz)
+        dx = jnp.where(scatterish, ndx, dx)
+        dy = jnp.where(scatterish, ndy, dy)
+        dz = jnp.where(scatterish, ndz, dz)
+
+        dead = (~hit) | is_lite | ((is_diff | is_glos) & ~up_ok)
+        alive = alive * jnp.where(dead, 0.0, 1.0)
+        # scalar predicates as f32 arithmetic (scalar-pred vector selects hit a
+        # Mosaic relayout bug: "non-singleton dimension replicated in dest")
+        depth_ok = (depth + 1 < max_depth).astype(jnp.float32)
+        alive = alive * depth_ok
+
+        # ---- Russian roulette (optional; unbiased) ----
+        rr_on = ((si_ref[5] > 0) & (depth >= si_ref[6])).astype(jnp.float32)
+        u5 = _u01(seed, salt0 + 4, ray_idx)
+        p_srv = jnp.clip(jnp.maximum(tr, jnp.maximum(tg, tb)), 0.05, 1.0)
+        p_srv = p_srv * rr_on + (1.0 - rr_on)
+        alive = alive * jnp.where(u5 < p_srv, 1.0, 0.0)
+        inv_p = 1.0 / p_srv
+        tr = tr * inv_p
+        tg = tg * inv_p
+        tb = tb * inv_p
+
+        return (depth + 1, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+                alive, inside, segs)
+
+    if _BOUNCE_LOOP == "while":
+        final = jax.lax.while_loop(cond, bounce, state)
+    else:
+        final = jax.lax.fori_loop(0, max_depth, lambda i, s: bounce(s), state)
+    r_ref[:] = final[10]
+    g_ref[:] = final[11]
+    b_ref[:] = final[12]
+    seg_ref[:] = final[15]
+
+
+class MegaScene(NamedTuple):
+    """Device tables for the megakernel (built once per scene)."""
+
+    tri: jnp.ndarray  # (T_pad, 16) f32
+    matt: jnp.ndarray  # (T_pad, 16) f32
+    n_tris: int
+    eps: float
+
+
+def build_megascene(scene: T.Scene) -> MegaScene:
+    """Pack Wald transforms + per-triangle material constants into VMEM rows."""
+    assert scene.wald is not None, "scene has no Wald transforms"
+    w = np.asarray(scene.wald.w)  # (3, T, 3), w[k, t, j] = A[t, j, k]
+    b = np.asarray(scene.wald.b)  # (T, 3)
+    normals = np.asarray(scene.geom.normals)
+    t_count = b.shape[0]
+    a = np.transpose(w, (1, 2, 0))  # (T, j, k) = A
+    tri = np.zeros((t_count, 16), np.float32)
+    tri[:, 0:9] = a.reshape(t_count, 9)
+    tri[:, 9:12] = b
+    tri[:, 12:15] = normals
+
+    mat_id = np.clip(np.asarray(scene.geom.mat_id), 0, None)
+    mats = scene.materials
+    matt = np.zeros((t_count, 16), np.float32)
+    matt[:, 0:3] = np.asarray(mats.kd)[mat_id]
+    matt[:, 3:6] = np.asarray(mats.ks)[mat_id]
+    matt[:, 6:9] = np.asarray(mats.ka)[mat_id]
+    matt[:, 9] = np.asarray(mats.ns)[mat_id]
+    matt[:, 10] = np.asarray(mats.ni)[mat_id]
+    matt[:, 11] = np.asarray(mats.mtype)[mat_id].astype(np.float32)
+
+    pad = (-t_count) % 8
+    if pad:
+        tri = np.pad(tri, ((0, pad), (0, 0)))
+        matt = np.pad(matt, ((0, pad), (0, 0)))
+        # padded rows: b2 = 1, A = 0 ⇒ d'_w = 0 ⇒ never hit (loop is bounded by
+        # n_tris anyway; this is belt-and-braces)
+        tri[t_count:, 11] = 1.0
+    return MegaScene(
+        tri=jnp.asarray(tri), matt=jnp.asarray(matt), n_tris=t_count,
+        eps=float(scene.eps),
+    )
+
+
+def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
+                spp: int, seed, max_depth: int = 16, rr: bool = False,
+                rr_start: int = 3, t_min: float = 1e-4,
+                interpret: bool = False):
+    """Render spp samples of the full image → ((W·H, 3) radiance sum, segments).
+
+    The ray pool is spp·W·H rays in blocks of BLK; sample s of pixel p is ray
+    ``s·W·H + p`` (positional — radiance is summed over the sample axis on the
+    way out)."""
+    return _render_mega_jit(
+        mega.tri, mega.matt, cam, width, height, spp, seed, max_depth, rr,
+        rr_start, t_min, interpret, mega.n_tris, mega.eps,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "rr", "rr_start",
+                     "t_min", "interpret", "n_tris", "eps"),
+)
+def _render_mega_jit(tri, matt, cam, width, height, spp, seed, max_depth, rr,
+                     rr_start, t_min, interpret, n_tris, eps):
+    mega = MegaScene(tri=tri, matt=matt, n_tris=n_tris, eps=eps)
+    n_pixels = width * height
+    n_rays = n_pixels * spp
+    n_blocks = (n_rays + BLK - 1) // BLK
+
+    si = jnp.array(
+        [width, height, mega.n_tris, max_depth, 0, int(rr), rr_start, n_pixels],
+        jnp.int32,
+    )
+    si = si.at[4].set(jnp.asarray(seed, jnp.int32))
+    sf = jnp.concatenate(
+        [
+            cam.position.reshape(3),
+            cam.forward.reshape(3),
+            cam.right.reshape(3),
+            cam.up.reshape(3),
+            jnp.stack(
+                [
+                    cam.half_width.reshape(()),
+                    cam.half_height.reshape(()),
+                    jnp.float32(mega.eps),
+                    jnp.float32(t_min),
+                ]
+            ),
+        ]
+    ).astype(jnp.float32)
+
+    grid = (n_blocks,)
+    out_shape = [
+        jax.ShapeDtypeStruct((n_blocks * SUB, 128), jnp.float32)
+        for _ in range(4)
+    ]
+    out_specs = [
+        pl.BlockSpec((SUB, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        for _ in range(4)
+    ]
+    static_tris = mega.n_tris if mega.n_tris <= UNROLL_MAX_TRIS else None
+    r, g, b, segs = pl.pallas_call(
+        _make_render_kernel(static_tris),
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        # bool True → the TPU interpreter (supports pltpu prims on CPU hosts)
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(si, sf, mega.tri, mega.matt)
+
+    rad = jnp.stack(
+        [r.reshape(-1)[:n_rays], g.reshape(-1)[:n_rays], b.reshape(-1)[:n_rays]],
+        axis=-1,
+    )
+    radiance = rad.reshape(spp, n_pixels, 3).sum(axis=0)
+    segments = jnp.sum(segs.reshape(-1)[:n_rays])
+    return radiance, segments

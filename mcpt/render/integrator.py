@@ -46,6 +46,13 @@ class RenderOptions(NamedTuple):
     # While with the NEE body (verified: identical body under fori/scan/unroll is
     # correct, under while_loop loses ~92% of NEE light), so "fori" stays default.
     loop: str = "fori"
+    # Stream compaction between bounces (SURVEY §7 step 5; the reference instead
+    # early-returns dead work-items in-kernel, ``intersect.cl:16-18`` — on TPU
+    # dead lanes burn full vector cost, so the pool is physically shrunk).  A
+    # tuple of per-depth live-fraction caps (len ≥ max_depth - 1, entry d caps
+    # the pool entering bounce d+1); None disables.  Static → one compile per
+    # schedule.  Use ``measure_schedule`` to derive one from a pilot render.
+    compact: tuple | None = None
 
 
 def _nee_contribution(scene: Scene, lights: Lights, res: shade_mod.ShadeResult,
@@ -197,6 +204,165 @@ def trace(scene: Scene, lights: Lights, pool: RayPool, key: jax.Array,
     return final.pool
 
 
+def _round_up(n: int, mult: int = 1024) -> int:
+    return ((n + mult - 1) // mult) * mult
+
+
+def _compact_pool(pool: RayPool, prev_scatter, prev_pdf, key, cap: int):
+    """Shrink the pool to its live prefix, capacity ``cap`` (static).
+
+    If the live count would overflow 92% of the capacity, paths are first
+    Russian-rouletted down at rate ``p = 0.92·cap/live`` with 1/p throughput
+    compensation — the estimator stays unbiased under any schedule (a too-tight
+    bucket only costs variance, never bias)."""
+    r = pool.count
+    live = jnp.sum(pool.alive.astype(jnp.int32))
+    target = jnp.float32(0.92 * cap)
+    p_keep = jnp.minimum(1.0, target / jnp.maximum(live.astype(jnp.float32), 1.0))
+    u = jax.random.uniform(key, (r,))
+    keep = pool.alive & (u < p_keep)
+    throughput = pool.throughput / p_keep
+    # positions of kept rays in the compact prefix
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    n_kept = jnp.sum(keep.astype(jnp.int32))
+    perm = jnp.zeros((cap,), jnp.int32)
+    scatter_to = jnp.where(keep, jnp.minimum(pos, cap - 1), cap)  # cap = dropped
+    perm = perm.at[scatter_to].set(
+        jnp.arange(r, dtype=jnp.int32), mode="drop"
+    )
+    row_alive = jnp.arange(cap) < jnp.minimum(n_kept, cap)
+
+    def take(x, fill=0):
+        out = x[perm]
+        return jnp.where(
+            row_alive.reshape((cap,) + (1,) * (x.ndim - 1)), out, fill
+        )
+
+    new_pool = RayPool(
+        origin=take(pool.origin),
+        direction=take(pool.direction),
+        throughput=take(throughput),
+        radiance=jnp.zeros((cap, 3), jnp.float32),  # deltas already flushed
+        pixel=take(pool.pixel),
+        alive=row_alive,
+        inside=take(pool.inside),
+    )
+    return new_pool, take(prev_scatter), take(prev_pdf)
+
+
+def trace_compacted(scene: Scene, lights: Lights, pool: RayPool, key: jax.Array,
+                    opts: RenderOptions, num_pixels: int, with_stats: bool = False):
+    """Bounce loop with inter-bounce stream compaction → (num_pixels, 3) radiance
+    sums (dead rays' contributions are scatter-added into the per-pixel image the
+    bounce they terminate, so the shrinking pool never loses radiance).
+
+    Python-unrolled over depth: each depth has its own (static) pool size from
+    ``opts.compact``; one compile per (resolution, schedule).
+    """
+    r0 = pool.count
+    schedule = opts.compact
+    assert schedule is not None
+    image = jnp.zeros((num_pixels, 3), jnp.float32)
+    segments = jnp.float32(0.0)
+    prev_scatter = jnp.zeros((pool.count,), bool)
+    prev_pdf = jnp.zeros((pool.count,), jnp.float32)
+    use_nee = opts.nee and lights.count > 0
+
+    for depth in range(opts.max_depth):
+        kd_ = jax.random.fold_in(key, depth)
+        kn_, ks_, kc_ = jax.random.split(kd_, 3)
+        hit = traverse.intersect_scene(
+            scene, pool.origin, pool.direction, active=pool.alive,
+            method=opts.method,
+        )
+        segments = segments + jnp.sum(pool.alive.astype(jnp.float32))
+
+        if use_nee:
+            cos_l = jnp.abs(jnp.sum(hit.normal * pool.direction, axis=-1))
+            pdf_light_sa = (hit.t**2) / jnp.maximum(
+                cos_l * lights.total_area, 1e-12
+            )
+            if opts.mis:
+                w = prev_pdf**2 / jnp.maximum(
+                    prev_pdf**2 + pdf_light_sa**2, 1e-20
+                )
+            else:
+                w = jnp.zeros_like(prev_pdf)
+            e_scale = jnp.where(prev_scatter, w, 1.0)
+        else:
+            e_scale = None
+
+        wo = -pool.direction
+        res = shade_mod.shade(
+            scene.materials, scene.geom.mat_id, pool, hit, ks_,
+            depth, opts.max_depth,
+            rr_enabled=opts.russian_roulette,
+            rr_start_depth=opts.rr_start_depth,
+            emission_scale=e_scale,
+            eps=scene.eps,
+        )
+        new_pool = res.pool
+        delta = new_pool.radiance - pool.radiance
+        if use_nee:
+            delta = delta + pool.throughput * _nee_contribution(
+                scene, lights, res, hit.point, wo, kn_, opts
+            )
+            segments = segments + jnp.sum(res.scatter.astype(jnp.float32))
+        # flush this bounce's radiance into the image (scatter-add by pixel)
+        image = image.at[new_pool.pixel].add(delta, mode="drop")
+
+        prev_scatter, prev_pdf = res.scatter, res.bsdf_pdf
+        pool = new_pool._replace(radiance=jnp.zeros_like(new_pool.radiance))
+
+        if depth + 1 < opts.max_depth:
+            frac = schedule[min(depth, len(schedule) - 1)]
+            cap = min(pool.count, max(1024, _round_up(int(frac * r0))))
+            if cap < pool.count:
+                pool, prev_scatter, prev_pdf = _compact_pool(
+                    pool, prev_scatter, prev_pdf, kc_, cap
+                )
+
+    if with_stats:
+        return image, segments
+    return image
+
+
+def measure_schedule(scene: Scene, lights: Lights, cam: Camera,
+                     opts: RenderOptions, width: int = 128, height: int = 128,
+                     seed: int = 0, margin: float = 1.35) -> tuple:
+    """Pilot render measuring per-depth live fractions → a compaction schedule
+    (fraction caps, 1/64 granularity, ``margin`` headroom, monotone)."""
+    from mcpt.render import camera as _cm
+
+    key = jax.random.key(seed)
+    pool = _cm.generate_rays(cam, width, height, key=key, jitter=opts.jitter)
+    fracs = []
+    r = pool.count
+    o = opts._replace(compact=None)
+    for depth in range(opts.max_depth - 1):
+        hit = traverse.intersect_scene(
+            scene, pool.origin, pool.direction, active=pool.alive,
+            method=opts.method,
+        )
+        res = shade_mod.shade(
+            scene.materials, scene.geom.mat_id, pool, hit,
+            jax.random.fold_in(key, depth), depth, opts.max_depth,
+            rr_enabled=o.russian_roulette, rr_start_depth=o.rr_start_depth,
+            eps=scene.eps,
+        )
+        pool = res.pool
+        fracs.append(float(jnp.sum(pool.alive.astype(jnp.float32))) / r)
+    sched = []
+    prev = 1.0
+    for f in fracs:
+        capped = min(prev, max(f * margin, 1.0 / 64.0))
+        capped = min(1.0, (int(capped * 64) + 1) / 64.0)
+        capped = min(prev, capped)
+        sched.append(capped)
+        prev = capped
+    return tuple(sched)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "opts", "spp"))
 def render_batch(scene: Scene, lights: Lights, cam: Camera, width: int,
                  height: int, key: jax.Array, opts: RenderOptions,
@@ -207,22 +373,20 @@ def render_batch(scene: Scene, lights: Lights, cam: Camera, width: int,
     reference's one-sample-per-frame-tick scheduling (``OpenCLApp.cpp:57-82``):
     a W·H·spp pool keeps the VPU saturated and amortizes dispatch."""
     keys = jax.random.split(key, spp)
+    n = width * height
 
-    def one(k):
-        k_cam, k_path = jax.random.split(k)
+    if spp == 1 and opts.compact is None:
+        k_cam, k_path = jax.random.split(keys[0])
         pool = camera_mod.generate_rays(
             cam, width, height, key=k_cam, jitter=opts.jitter
         )
         pool = trace(scene, lights, pool, k_path, opts)
         return pool.radiance
 
-    if spp == 1:
-        return one(keys[0])
     # one flat pool of spp·W·H rays (not vmap: a single big wavefront vectorizes
     # the bounce loop across samples AND pixels, so partially-dead sample slices
     # don't serialize)
-    n = width * height
-    k_cams, k_paths = jax.vmap(lambda k: tuple(jax.random.split(k)))(keys)
+    k_cams, _ = jax.vmap(lambda k: tuple(jax.random.split(k)))(keys)
     pools = jax.vmap(
         lambda k: camera_mod.generate_rays(cam, width, height, key=k,
                                            jitter=opts.jitter)
@@ -230,6 +394,9 @@ def render_batch(scene: Scene, lights: Lights, cam: Camera, width: int,
     flat = jax.tree.map(
         lambda x: x.reshape((spp * n,) + x.shape[2:]), pools
     )
+    if opts.compact is not None:
+        # compacted trace scatter-adds by pixel id — samples merge for free
+        return trace_compacted(scene, lights, flat, key, opts, num_pixels=n)
     flat = trace(scene, lights, flat, key, opts)
     return flat.radiance.reshape(spp, n, 3).sum(axis=0)
 

@@ -21,7 +21,7 @@ import numpy as np
 
 from mcpt import types
 from mcpt.io.objloader import LoadedObject
-from mcpt.types import Geometry, Materials, Scene
+from mcpt.types import Geometry, Materials, Scene, WaldTris
 
 
 class Lights(NamedTuple):
@@ -67,6 +67,30 @@ def build_lights(verts: np.ndarray, mat_id: np.ndarray, mtype: np.ndarray,
     )
 
 
+def build_wald(verts: np.ndarray) -> WaldTris:
+    """Precompute per-triangle unit-triangle affine transforms (host, float64
+    inverse for accuracy).  See ``types.WaldTris``.  Degenerate triangles get a
+    transform that can never report a hit (d'_w = 0 ⇒ t = -inf)."""
+    v = np.asarray(verts, np.float64).reshape(-1, 3, 3)
+    t_count = v.shape[0]
+    e1 = v[:, 1] - v[:, 0]
+    e2 = v[:, 2] - v[:, 0]
+    n = np.cross(e1, e2)
+    m = np.stack([e1, e2, n], axis=-1)  # (T, 3, 3), columns e1|e2|n
+    det = np.linalg.det(m)
+    ok = np.abs(det) > 1e-18
+    m_safe = np.where(ok[:, None, None], m, np.eye(3)[None])
+    a = np.linalg.inv(m_safe)  # (T, 3, 3): p' = A (p - v0)
+    b = -np.einsum("tjk,tk->tj", a, v[:, 0])  # (T, 3)
+    # degenerate: zero transform, offset puts o'_w = 1 and d'_w = 0 → miss
+    a = np.where(ok[:, None, None], a, 0.0)
+    b = np.where(ok[:, None], b, np.array([0.0, 0.0, 1.0]))
+    w = np.transpose(a, (2, 0, 1))  # w[k, t, j] = A[t, j, k]
+    return WaldTris(
+        w=jnp.asarray(w, jnp.float32), b=jnp.asarray(b, jnp.float32)
+    )
+
+
 def build_scene(loaded: LoadedObject, bvhtype: str = "hlbvh"):
     """LoadedObject → (Scene, Lights) with the BVH selected by ``bvhtype``
     (reference ``Config::BVHTYPE()`` dispatch, ``scenebuild.cpp:66-79``).
@@ -91,6 +115,7 @@ def build_scene(loaded: LoadedObject, bvhtype: str = "hlbvh"):
     scene = Scene(
         geom=geom, materials=mats, bvh=bvh,
         eps=jnp.float32(max(1e-4 * diag, 1e-6)),
+        wald=build_wald(loaded.verts),
     )
     return scene, lights
 

@@ -89,6 +89,20 @@ class BVH(NamedTuple):
         return node >= n - 1
 
 
+class WaldTris(NamedTuple):
+    """Precomputed unit-triangle affine transforms (Wald-style) packed for
+    matmul-shaped intersection: for triangle i, ``A_i`` maps world space so the
+    triangle becomes the unit triangle in the (u, v) plane with its plane at
+    w = 0.  A ray transforms as ``o' = o @ W + B``, ``d' = d @ W`` (one fused
+    (R,3)×(3,3T) contraction each), then ``t = -o'_w/d'_w``,
+    ``u = o'_u + t·d'_u``, ``v = o'_v + t·d'_v`` — ~15 VPU flops per ray-triangle
+    test instead of the ~60 of Möller–Trumbore.  This is the TPU-native answer to
+    the reference's per-ray 4×4-inverse test (``objdef.h:178-221``)."""
+
+    w: jnp.ndarray  # (3, T, 3) f32 — A_i^T columns, laid out for (R,3)@(3,T·3)
+    b: jnp.ndarray  # (T, 3) f32 — affine offsets
+
+
 class Scene(NamedTuple):
     geom: Geometry
     materials: Materials
@@ -98,6 +112,9 @@ class Scene(NamedTuple):
     # precision for 550-unit scenes like cbox; we derive it from the root AABB
     # diagonal at build time instead.
     eps: jnp.ndarray = jnp.float32(EPSILON)
+    # Precomputed Wald transforms for the matmul-shaped brute intersector
+    # (built by mcpt.scene.build_scene; None only in hand-rolled test scenes).
+    wald: "WaldTris | None" = None
 
     @property
     def n_tris(self) -> int:

@@ -1,0 +1,69 @@
+"""Pallas megakernel correctness (TPU-interpreter mode on CPU) against the
+reference-path jnp renderer and the analytic oracles."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from mcpt.pallas import megakernel as mk
+from mcpt.render import camera as cm
+from mcpt.render import integrator as integ
+from mcpt.render.integrator import RenderOptions
+from mcpt.scene import build_scene
+from mcpt.scenes import cornell_box, furnace_sphere
+
+
+def test_rng_uniformity():
+    import jax.numpy as jnp
+
+    idx = jnp.arange(65536, dtype=jnp.int32)
+    u = np.asarray(mk._u01(jnp.int32(7), jnp.int32(3), idx))
+    assert 0.0 <= u.min() and u.max() < 1.0
+    assert abs(u.mean() - 0.5) < 5e-3
+    assert abs(np.corrcoef(u[:-1], u[1:])[0, 1]) < 0.02
+    # different salts decorrelate
+    v = np.asarray(mk._u01(jnp.int32(7), jnp.int32(4), idx))
+    assert abs(np.corrcoef(u, v)[0, 1]) < 0.02
+
+
+@pytest.mark.slow
+def test_megakernel_matches_wavefront_cbox():
+    loaded, camcfg = cornell_box()
+    scene, lights = build_scene(loaded)
+    res = 32
+    camcfg = dataclasses.replace(camcfg, resolution=(res, res))
+    cam = cm.make_camera(camcfg)
+    mega = mk.build_megascene(scene)
+    rad, segs = mk.render_mega(
+        mega, cam, res, res, spp=16, seed=1, max_depth=6, interpret=True
+    )
+    img_m = np.asarray(rad).reshape(res, res, 3).mean(-1) / 16.0
+    assert float(segs) > 0
+
+    opts = RenderOptions(max_depth=6, method="brute")
+    fb = integ.render(scene, lights, cam, res, res, opts, spp=32,
+                      spp_per_step=32, seed=0)
+    img_j = integ.framebuffer_image(fb, res, res).mean(-1)
+    corr = np.corrcoef(img_m.ravel(), img_j.ravel())[0, 1]
+    assert corr > 0.9, corr
+    assert abs(img_m.mean() - img_j.mean()) < 0.15 * img_j.mean()
+
+
+@pytest.mark.slow
+def test_megakernel_furnace():
+    loaded, camcfg = furnace_sphere(albedo=0.5, emission=1.0, subdiv=1)
+    scene, lights = build_scene(loaded)
+    res = 16
+    camcfg = dataclasses.replace(camcfg, resolution=(res, res))
+    cam = cm.make_camera(camcfg)
+    mega = mk.build_megascene(scene)
+    rad, _ = mk.render_mega(
+        mega, cam, res, res, spp=2, seed=0, max_depth=8, interpret=True
+    )
+    img = np.asarray(rad).reshape(res, res, 3) / 2.0
+    # subdiv-1 spheres are coarse: check the identity loosely at the center
+    # (sphere) and exactly at the corner (enclosure)
+    assert abs(img[res // 2, res // 2, 0] - 0.5) < 0.05
+    np.testing.assert_allclose(img[0, 0], 1.0, atol=1e-4)

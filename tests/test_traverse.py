@@ -63,6 +63,42 @@ def test_bvh_matches_brute(n, r):
     assert same_hitness.all()
 
 
+@pytest.mark.parametrize("n,r", [(36, 512), (700, 128)])
+def test_wald_matches_brute(n, r):
+    """The precomputed-transform intersector is the same hit function as
+    Möller–Trumbore up to float rounding (incl. multi-chunk scan path)."""
+    from mcpt.scene import build_wald
+
+    verts = random_tris(n, seed=n + 1)
+    geom = T.geometry_from_verts(verts, np.zeros(n, np.int32))
+    wald = build_wald(verts)
+    o, d = _rand_rays(r, seed=r + 3)
+    hb = traverse.intersect_brute(geom, o, d)
+    hw = traverse.intersect_wald(wald, geom, o, d, chunk=512)
+    tb, tw = np.asarray(hb.t), np.asarray(hw.t)
+    close = np.isclose(
+        np.where(np.isfinite(tb), tb, 0), np.where(np.isfinite(tw), tw, 0),
+        rtol=1e-3, atol=1e-4,
+    )
+    assert close.all(), f"t mismatch on {np.count_nonzero(~close)} rays"
+    assert ((np.asarray(hb.tri) >= 0) == (np.asarray(hw.tri) >= 0)).all()
+
+
+def test_wald_degenerate_triangle():
+    from mcpt.scene import build_wald
+
+    verts = np.zeros((2, 3, 3), np.float32)
+    verts[0] = [[0, 0, 1], [1, 0, 1], [0, 1, 1]]
+    verts[1] = [[5, 5, 5], [5, 5, 5], [5, 5, 5]]  # degenerate
+    geom = T.geometry_from_verts(verts, np.zeros(2, np.int32))
+    wald = build_wald(verts)
+    o = jnp.array([[0.2, 0.2, 0.0], [5.0, 5.0, 0.0]])
+    d = jnp.array([[0.0, 0, 1.0], [0.0, 0, 1.0]])
+    h = traverse.intersect_wald(wald, geom, o, d)
+    assert int(h.tri[0]) == 0 and float(h.t[0]) == pytest.approx(1.0)
+    assert int(h.tri[1]) == -1  # degenerate triangle never hits
+
+
 def test_active_mask_skips_rays():
     n = 20
     verts = random_tris(n, seed=1)
