@@ -80,10 +80,42 @@ def _node_heights(left, right, leaf_base, n_nodes):
 
 
 def optimize_treelets(bvh: BVH, max_leaves: int = MAX_LEAVES,
-                      eps: float = 1e-7) -> BVH:
+                      eps: float = 1e-7, use_native: str = "auto",
+                      rounds: int = 1) -> BVH:
     """Restructure the BVH to (locally) minimal SAH; returns a new BVH with the
-    same leaf set and layout contract."""
+    same leaf set and layout contract.
+
+    Dispatches to the C++ implementation (``mcpt/native``, ~200 ms for 200k
+    triangles) when available; this numpy implementation is the always-available
+    reference.  ``rounds > 1`` re-sweeps — a second pass typically gains a few
+    extra % SAH (the reference sweeps once)."""
     import jax.numpy as jnp
+
+    for _ in range(rounds - 1):
+        bvh = optimize_treelets(bvh, max_leaves, eps, use_native, rounds=1)
+
+    if use_native != "never":
+        try:
+            from mcpt import native
+
+            if native.available():
+                # np.array(copy=True): jax CPU arrays expose zero-copy
+                # READ-ONLY views; the native optimizer mutates in place
+                bbmin = np.array(bvh.bbmin, np.float32)
+                bbmax = np.array(bvh.bbmax, np.float32)
+                left = np.array(bvh.left, np.int32)
+                right = np.array(bvh.right, np.int32)
+                parent = np.array(bvh.parent, np.int32)
+                native.treelet_optimize_native(bbmin, bbmax, left, right,
+                                               parent)
+                return BVH(
+                    bbmin=jnp.asarray(bbmin), bbmax=jnp.asarray(bbmax),
+                    left=jnp.asarray(left), right=jnp.asarray(right),
+                    parent=jnp.asarray(parent),
+                )
+        except Exception:
+            if use_native == "always":
+                raise
 
     left = np.asarray(bvh.left).astype(np.int64).copy()
     right = np.asarray(bvh.right).astype(np.int64).copy()

@@ -116,14 +116,30 @@ def classify_materials(raw: list[RawMaterial]):
     return mtype, kd, ks, ka, ns, ni
 
 
-def load_object(directory: str, objname: str) -> LoadedObject:
+def load_object(directory: str, objname: str,
+                use_native: str = "auto") -> LoadedObject:
     """Load ``directory/objname`` (+ its mtllib) into SoA numpy arrays.
 
     Mirrors ``ThirdPartyWrapper::loadObject`` (``thirdpartywrapper.cpp:25-99``):
     positions-only triangulation (polygon faces are fan-triangulated, matching
     tinyobj's default ``triangulate=true``) and per-face material indices (-1 where
     no ``usemtl`` is active, as tinyobj emits).
+
+    ``use_native``: "auto" uses the C++ fast path (``mcpt/native``) when its
+    shared library is available; "never"/"always" force one side.  Both produce
+    identical arrays (tested).
     """
+    if use_native != "never":
+        try:
+            from mcpt import native
+
+            if native.available():
+                return native.load_object_native(directory, objname)
+        except FileNotFoundError:
+            raise
+        except Exception:
+            if use_native == "always":
+                raise
     obj_path = os.path.join(directory, objname)
     positions: list[tuple[float, float, float]] = []
     tri_idx: list[tuple[int, int, int]] = []
