@@ -111,6 +111,9 @@ class Config:
     # --- TPU-era extensions ---
     integrator: IntegratorConfig = dataclasses.field(default_factory=IntegratorConfig)
     intersector: str = "auto"
+    # engine: "auto" picks the fused Pallas megakernel for VMEM-sized scenes,
+    # the wavefront pipeline otherwise; "mega"/"wavefront" force one.
+    engine: str = "auto"
     seed: int = 0
     spp_per_step: int = 1
     mesh: dict[str, int] = dataclasses.field(default_factory=dict)
@@ -153,6 +156,7 @@ class Config:
             opencl=bool(e.get("opencl", False)),
             integrator=IntegratorConfig.from_json(e.get("integrator")),
             intersector=str(e.get("intersector", "auto")),
+            engine=str(e.get("engine", "auto")),
             seed=int(e.get("seed", 0)),
             spp_per_step=int(e.get("spp_per_step", 1)),
             mesh=dict(e.get("mesh", {})),

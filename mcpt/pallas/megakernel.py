@@ -122,23 +122,28 @@ def _onb(nx, ny, nz):
 UNROLL_MAX_TRIS = 128
 
 
-def _make_render_kernel(static_tris: int | None):
-    def kernel(si_ref, sf_ref, tri_ref, matt_ref, r_ref, g_ref, b_ref,
-               seg_ref):
-        return _render_body(static_tris, si_ref, sf_ref, tri_ref, matt_ref,
+def _make_render_kernel(static_tris: int | None, use_nee: bool,
+                        use_mis: bool, static_lights: int):
+    def kernel(si_ref, sf_ref, tri_ref, matt_ref, lit_ref, r_ref, g_ref,
+               b_ref, seg_ref):
+        return _render_body(static_tris, use_nee, use_mis, static_lights,
+                            si_ref, sf_ref, tri_ref, matt_ref, lit_ref,
                             r_ref, g_ref, b_ref, seg_ref)
 
     return kernel
 
 
-def _render_body(static_tris, si_ref, sf_ref, tri_ref, matt_ref, r_ref, g_ref,
-                 b_ref, seg_ref):
+def _render_body(static_tris, use_nee, use_mis, static_lights, si_ref, sf_ref,
+                 tri_ref, matt_ref, lit_ref, r_ref, g_ref, b_ref, seg_ref):
     """One block of BLK rays, full path trace.
 
     si_ref (SMEM i32): 0 width, 1 height, 2 n_tris, 3 max_depth, 4 seed,
                        5 rr_enabled, 6 rr_start_depth, 7 n_pixels
     sf_ref (SMEM f32): 0:3 cam pos, 3:6 fwd, 6:9 right, 9:12 up,
-                       12 half_w, 13 half_h, 14 eps, 15 t_min
+                       12 half_w, 13 half_h, 14 eps, 15 t_min,
+                       16 total light area
+    lit_ref (VMEM, L_pad×16): per emissive triangle — 0:3 v0, 3:6 e1, 6:9 e2,
+                       9:12 emission, 12:15 unit normal, 15 area CDF
     """
     blk = pl.program_id(0)
     width = si_ref[0]
@@ -150,6 +155,10 @@ def _render_body(static_tris, si_ref, sf_ref, tri_ref, matt_ref, r_ref, g_ref,
     if static_tris is not None:
         tri_c = [[tri_ref[t, j] for j in range(15)] for t in range(static_tris)]
         mat_c = [[matt_ref[t, j] for j in range(12)] for t in range(static_tris)]
+    if use_nee:
+        lit_c = [[lit_ref[t, j] for j in range(16)]
+                 for t in range(static_lights)]
+        area_l = sf_ref[16]
 
     n_pixels = si_ref[7]
     row = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0)
@@ -191,6 +200,8 @@ def _render_body(static_tris, si_ref, sf_ref, tri_ref, matt_ref, r_ref, g_ref,
         zeros + 1.0,  # alive (f32 mask)
         zeros,  # inside (f32 mask)
         zeros,  # live-segment counter
+        zeros,  # prev_sc: previous bounce sampled a reflective BSDF (f32)
+        zeros,  # prev_pdf: that sample's solid-angle pdf (for MIS)
     )
 
     def cond(s):
@@ -199,7 +210,7 @@ def _render_body(static_tris, si_ref, sf_ref, tri_ref, matt_ref, r_ref, g_ref,
 
     def bounce(s):
         (depth, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive,
-         inside, segs) = s
+         inside, segs, prev_sc, prev_pdf) = s
 
         # ---- intersect: closest hit over all triangles (Wald transforms) ----
         def tri_body(t, acc):
@@ -309,8 +320,22 @@ def _render_body(static_tris, si_ref, sf_ref, tri_ref, matt_ref, r_ref, g_ref,
         is_glos = hit & (mtype == _MTYPE_GLOSSY)
         is_tran = hit & (mtype == _MTYPE_TRANSPARENT)
 
-        # ---- LIGHT: gather emission, terminate (shade.cl:155-158) ----
+        # ---- LIGHT: gather emission, terminate (shade.cl:155-158).  With NEE
+        # the emission after a reflective bounce is MIS-discounted (or dropped
+        # entirely without MIS) against the light-sampling pdf. ----
         lmask = is_lite.astype(jnp.float32)
+        if use_nee:
+            cos_lh = jnp.abs(ndotd)  # raw-normal · d
+            pdf_lh = best_t * best_t / jnp.maximum(cos_lh * area_l, 1e-12)
+            if use_mis:
+                # power heuristic in ratio form — squaring large pdfs overflows
+                # f32 to inf and inf/inf = NaN
+                rat = pdf_lh / jnp.maximum(prev_pdf, 1e-12)
+                w_hit = 1.0 / (1.0 + rat * rat)
+            else:
+                w_hit = zeros
+            e_scale = 1.0 - prev_sc * (1.0 - w_hit)
+            lmask = lmask * e_scale
         rr = rr + lmask * tr * kax
         rg = rg + lmask * tg * kay
         rb = rb + lmask * tb * kaz
@@ -370,6 +395,97 @@ def _render_body(static_tris, si_ref, sf_ref, tri_ref, matt_ref, r_ref, g_ref,
         wrx = wrx * ok_f
         wry = wry * ok_f
         wrz = wrz * ok_f
+
+        if use_nee and static_lights > 0:
+            # ---- next-event estimation: sample the light area, cast a shadow
+            # ray, add the MIS-weighted direct contribution (the reference has
+            # no NEE; this is the north-star upgrade, SURVEY §7) ----
+            ul = _u01(seed, salt0 + 5, ray_idx)
+            ua = _u01(seed, salt0 + 6, ray_idx)
+            ub = _u01(seed, salt0 + 7, ray_idx)
+            # area-proportional light pick via the CDF (unrolled selects)
+            lsel = [zeros for _ in range(15)]
+            prev_cdf = 0.0
+            for li in range(static_lights):
+                c = lit_c[li]
+                in_bin = (ul >= prev_cdf) & (ul < c[15]) if li > 0 else (
+                    ul < c[15]
+                )
+                if li == static_lights - 1:
+                    in_bin = in_bin | (ul >= c[15])  # numeric tail
+                for j in range(15):
+                    lsel[j] = jnp.where(in_bin, c[j], lsel[j])
+                prev_cdf = c[15]
+            su_ = jnp.sqrt(ua)
+            b1 = su_ * (1.0 - ub)
+            b2 = su_ * ub
+            lpx = lsel[0] + b1 * lsel[3] + b2 * lsel[6]
+            lpy = lsel[1] + b1 * lsel[4] + b2 * lsel[7]
+            lpz = lsel[2] + b1 * lsel[5] + b2 * lsel[8]
+            tox = lpx - hx
+            toy = lpy - hy
+            toz = lpz - hz
+            dist2 = tox * tox + toy * toy + toz * toz
+            dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+            iwx = tox / dist
+            iwy = toy / dist
+            iwz = toz / dist
+            cos_s = iwx * nx + iwy * ny + iwz * nz
+            cos_l = jnp.abs(iwx * lsel[12] + iwy * lsel[13] + iwz * lsel[14])
+            pdf_sa = dist2 / jnp.maximum(cos_l * area_l, 1e-12)
+            # reflective BSDF toward the light + its sampling pdf (for MIS)
+            cos_ar2 = jnp.maximum(iwx * mdx + iwy * mdy + iwz * mdz, 0.0)
+            pw2 = _pow(cos_ar2, ns_)
+            gmask = is_glos.astype(jnp.float32)
+            fx_ = kdx * (1.0 / jnp.pi) + gmask * ksx * (ns_ + 2.0) * inv_2pi * pw2
+            fy_ = kdy * (1.0 / jnp.pi) + gmask * ksy * (ns_ + 2.0) * inv_2pi * pw2
+            fz_ = kdz * (1.0 / jnp.pi) + gmask * ksz * (ns_ + 2.0) * inv_2pi * pw2
+            pdf_d2 = jnp.maximum(cos_s, 0.0) * (1.0 / jnp.pi)
+            pdf_b2 = (1.0 - 0.5 * gmask) * pdf_d2 + 0.5 * gmask * (
+                (ns_ + 1.0) * inv_2pi * pw2
+            )
+            cand = (is_diff | is_glos) & (cos_s > 0.0) & (cos_l > 1e-6)
+            # shadow ray: any hit closer than the light point blocks it
+            sox = hx + eps * iwx
+            soy = hy + eps * iwy
+            soz = hz + eps * iwz
+            limit = dist - 2.0 * eps
+            occ = zeros > 1.0  # all-false
+
+            def shadow_test(c):
+                opz = c[6] * sox + c[7] * soy + c[8] * soz + c[11]
+                dpz = c[6] * iwx + c[7] * iwy + c[8] * iwz
+                th = -opz / dpz
+                opx = c[0] * sox + c[1] * soy + c[2] * soz + c[9]
+                dpx = c[0] * iwx + c[1] * iwy + c[2] * iwz
+                u = opx + th * dpx
+                opy = c[3] * sox + c[4] * soy + c[5] * soz + c[10]
+                dpy = c[3] * iwx + c[4] * iwy + c[5] * iwz
+                v = opy + th * dpy
+                return ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        & (th > t_min) & (th < limit))
+
+            if static_tris is not None:
+                for t in range(static_tris):
+                    occ = occ | shadow_test(tri_c[t])
+            else:
+                def sh_body(t, o):
+                    c = [tri_ref[t, j] for j in range(12)]
+                    return o | shadow_test(c)
+
+                occ = jax.lax.fori_loop(0, n_tris, sh_body, occ)
+
+            vis = (cand & (~occ)).astype(jnp.float32)
+            segs = segs + cand.astype(jnp.float32)
+            if use_mis:
+                rat2 = pdf_b2 / jnp.maximum(pdf_sa, 1e-12)
+                w_nee = 1.0 / (1.0 + rat2 * rat2)  # ratio form, see above
+            else:
+                w_nee = zeros + 1.0
+            gain = vis * (cos_s * w_nee / jnp.maximum(pdf_sa, 1e-12))
+            rr = rr + tr * fx_ * lsel[9] * gain
+            rg = rg + tg * fy_ * lsel[10] * gain
+            rb = rb + tb * fz_ * lsel[11] * gain
 
         # ---- transparent: Schlick coin between refraction and mirror ----
         eta_i = jnp.where(inside > 0.0, ni_, 1.0)
@@ -439,8 +555,11 @@ def _render_body(static_tris, si_ref, sf_ref, tri_ref, matt_ref, r_ref, g_ref,
         tg = tg * inv_p
         tb = tb * inv_p
 
+        prev_sc = (is_diff | is_glos).astype(jnp.float32)
+        prev_pdf = jnp.where(is_glos, pdf_mix, pdf_d)
+
         return (depth + 1, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-                alive, inside, segs)
+                alive, inside, segs, prev_sc, prev_pdf)
 
     if _BOUNCE_LOOP == "while":
         final = jax.lax.while_loop(cond, bounce, state)
@@ -457,12 +576,16 @@ class MegaScene(NamedTuple):
 
     tri: jnp.ndarray  # (T_pad, 16) f32
     matt: jnp.ndarray  # (T_pad, 16) f32
+    lit: jnp.ndarray  # (L_pad, 16) f32 — emissive-tri table (NEE)
     n_tris: int
+    n_lights: int
     eps: float
+    total_light_area: float
 
 
-def build_megascene(scene: T.Scene) -> MegaScene:
-    """Pack Wald transforms + per-triangle material constants into VMEM rows."""
+def build_megascene(scene: T.Scene, lights=None) -> MegaScene:
+    """Pack Wald transforms + per-triangle material constants into VMEM rows.
+    ``lights`` (mcpt.scene.Lights) enables the NEE table."""
     assert scene.wald is not None, "scene has no Wald transforms"
     w = np.asarray(scene.wald.w)  # (3, T, 3), w[k, t, j] = A[t, j, k]
     b = np.asarray(scene.wald.b)  # (T, 3)
@@ -491,41 +614,63 @@ def build_megascene(scene: T.Scene) -> MegaScene:
         # padded rows: b2 = 1, A = 0 ⇒ d'_w = 0 ⇒ never hit (loop is bounded by
         # n_tris anyway; this is belt-and-braces)
         tri[t_count:, 11] = 1.0
+
+    # NEE light table: v0, e1, e2, emission, unit normal, area CDF
+    n_lights = 0
+    total_area = 0.0
+    if lights is not None and int(lights.count) > 0:
+        ids = np.asarray(lights.tri)
+        n_lights = len(ids)
+        lv = np.asarray(scene.geom.verts)[ids]
+        lit = np.zeros((max(n_lights, 1), 16), np.float32)
+        lit[:n_lights, 0:3] = lv[:, 0]
+        lit[:n_lights, 3:6] = lv[:, 1] - lv[:, 0]
+        lit[:n_lights, 6:9] = lv[:, 2] - lv[:, 0]
+        lit[:n_lights, 9:12] = np.asarray(lights.emission)
+        lit[:n_lights, 12:15] = np.asarray(scene.geom.normals)[ids]
+        lit[:n_lights, 15] = np.asarray(lights.cdf)
+        total_area = float(lights.total_area)
+    else:
+        lit = np.zeros((1, 16), np.float32)
     return MegaScene(
-        tri=jnp.asarray(tri), matt=jnp.asarray(matt), n_tris=t_count,
-        eps=float(scene.eps),
+        tri=jnp.asarray(tri), matt=jnp.asarray(matt), lit=jnp.asarray(lit),
+        n_tris=t_count, n_lights=n_lights, eps=float(scene.eps),
+        total_light_area=total_area,
     )
 
 
 def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
                 spp: int, seed, max_depth: int = 16, rr: bool = False,
-                rr_start: int = 3, t_min: float = 1e-4,
-                interpret: bool = False):
+                rr_start: int = 3, nee: bool = False, mis: bool = False,
+                t_min: float = 1e-4, interpret: bool = False):
     """Render spp samples of the full image → ((W·H, 3) radiance sum, segments).
 
     The ray pool is spp·W·H rays in blocks of BLK; sample s of pixel p is ray
     ``s·W·H + p`` (positional — radiance is summed over the sample axis on the
     way out)."""
     return _render_mega_jit(
-        mega.tri, mega.matt, cam, width, height, spp, seed, max_depth, rr,
-        rr_start, t_min, interpret, mega.n_tris, mega.eps,
+        mega.tri, mega.matt, mega.lit, cam, width, height, spp, seed,
+        max_depth, rr, rr_start, nee and mega.n_lights > 0, mis, t_min,
+        interpret, mega.n_tris, mega.n_lights, mega.eps,
+        mega.total_light_area,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "rr", "rr_start",
-                     "t_min", "interpret", "n_tris", "eps"),
+                     "nee", "mis", "t_min", "interpret", "n_tris", "n_lights",
+                     "eps", "total_light_area"),
 )
-def _render_mega_jit(tri, matt, cam, width, height, spp, seed, max_depth, rr,
-                     rr_start, t_min, interpret, n_tris, eps):
-    mega = MegaScene(tri=tri, matt=matt, n_tris=n_tris, eps=eps)
+def _render_mega_jit(tri, matt, lit, cam, width, height, spp, seed, max_depth,
+                     rr, rr_start, nee, mis, t_min, interpret, n_tris,
+                     n_lights, eps, total_light_area):
     n_pixels = width * height
     n_rays = n_pixels * spp
     n_blocks = (n_rays + BLK - 1) // BLK
 
     si = jnp.array(
-        [width, height, mega.n_tris, max_depth, 0, int(rr), rr_start, n_pixels],
+        [width, height, n_tris, max_depth, 0, int(rr), rr_start, n_pixels],
         jnp.int32,
     )
     si = si.at[4].set(jnp.asarray(seed, jnp.int32))
@@ -539,10 +684,11 @@ def _render_mega_jit(tri, matt, cam, width, height, spp, seed, max_depth, rr,
                 [
                     cam.half_width.reshape(()),
                     cam.half_height.reshape(()),
-                    jnp.float32(mega.eps),
+                    jnp.float32(eps),
                     jnp.float32(t_min),
                 ]
             ),
+            jnp.asarray([total_light_area], jnp.float32),
         ]
     ).astype(jnp.float32)
 
@@ -555,9 +701,9 @@ def _render_mega_jit(tri, matt, cam, width, height, spp, seed, max_depth, rr,
         pl.BlockSpec((SUB, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
         for _ in range(4)
     ]
-    static_tris = mega.n_tris if mega.n_tris <= UNROLL_MAX_TRIS else None
+    static_tris = n_tris if n_tris <= UNROLL_MAX_TRIS else None
     r, g, b, segs = pl.pallas_call(
-        _make_render_kernel(static_tris),
+        _make_render_kernel(static_tris, nee, mis, n_lights),
         grid=grid,
         out_shape=out_shape,
         in_specs=[
@@ -565,11 +711,12 @@ def _render_mega_jit(tri, matt, cam, width, height, spp, seed, max_depth, rr,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         # bool True → the TPU interpreter (supports pltpu prims on CPU hosts)
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(si, sf, mega.tri, mega.matt)
+    )(si, sf, tri, matt, lit)
 
     rad = jnp.stack(
         [r.reshape(-1)[:n_rays], g.reshape(-1)[:n_rays], b.reshape(-1)[:n_rays]],

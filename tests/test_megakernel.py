@@ -52,6 +52,33 @@ def test_megakernel_matches_wavefront_cbox():
 
 
 @pytest.mark.slow
+def test_megakernel_nee_matches_wavefront():
+    """NEE+MIS in the kernel ≡ the jnp NEE+MIS integrator (same transport)."""
+    from mcpt.scenes import quad_light_plane
+
+    loaded, camcfg = quad_light_plane()
+    scene, lights = build_scene(loaded)
+    res = 24
+    camcfg = dataclasses.replace(camcfg, resolution=(res, res))
+    cam = cm.make_camera(camcfg)
+    mega = mk.build_megascene(scene, lights)
+    rad, _ = mk.render_mega(
+        mega, cam, res, res, spp=24, seed=1, max_depth=3, nee=True, mis=True,
+        interpret=True,
+    )
+    m = np.asarray(rad).reshape(res, res, 3) / 24
+    fb = integ.render(
+        scene, lights, cam, res, res,
+        RenderOptions(max_depth=3, method="brute", nee=True, mis=True),
+        spp=32, spp_per_step=32, seed=0,
+    )
+    j = integ.framebuffer_image(fb, res, res)
+    corr = np.corrcoef(m.mean(-1).ravel(), j.mean(-1).ravel())[0, 1]
+    assert corr > 0.98, corr
+    assert abs(m.mean() - j.mean()) < 0.05 * j.mean()
+
+
+@pytest.mark.slow
 def test_megakernel_furnace():
     loaded, camcfg = furnace_sphere(albedo=0.5, emission=1.0, subdiv=1)
     scene, lights = build_scene(loaded)

@@ -123,6 +123,31 @@ def main(argv=None):
         f"intersector={opts.method} bvh={cfg.bvhtype} | devices={jax.devices()}"
     )
 
+    engine = cfg.engine
+    if engine == "auto":
+        # the fused megakernel covers VMEM-sized scenes (tables ≤ ~4k tris)
+        engine = "mega" if scene.n_tris <= 2048 else "wavefront"
+    if engine == "mega":
+        from mcpt.pallas import megakernel as mk
+
+        mega = mk.build_megascene(scene, lights)
+
+        def render_step(seed_step, step):
+            rad, _ = mk.render_mega(
+                mega, cam, width, height, spp=step, seed=seed_step,
+                max_depth=opts.max_depth, rr=opts.russian_roulette,
+                rr_start=opts.rr_start_depth, nee=opts.nee, mis=opts.mis,
+            )
+            return rad
+    else:
+        def render_step(seed_step, step):
+            return integ.render_batch(
+                scene, lights, cam, width, height,
+                jax.random.fold_in(jax.random.key(cfg.seed), seed_step),
+                opts, spp=step,
+            )
+
+    print(f"engine: {engine}")
     base = jax.random.key(cfg.seed)
     t0 = time.time()
     t_last, s_last = t0, start_s
@@ -130,10 +155,7 @@ def main(argv=None):
     done = start_s
     while done < spp:
         step = min(step_size, spp - done)
-        radiance = integ.render_batch(
-            scene, lights, cam, width, height, jax.random.fold_in(base, done),
-            opts, spp=step,
-        )
+        radiance = render_step(cfg.seed + done * 7919, step)
         fb = integ.accumulate(fb, radiance, spp=step)
         done += step
         now = time.time()
