@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from mcpt import types as T
 
 # Block geometry: SUB×128 rays per grid step.
-SUB = 32
+SUB = 64
 BLK = SUB * 128
 
 _U32_TO_UNIT = 1.0 / 4294967296.0  # map uint32 → [0, 1)
@@ -48,7 +48,11 @@ _U32_TO_UNIT = 1.0 / 4294967296.0  # map uint32 → [0, 1)
 #   0:9  A row-major (o'_j = A[j,0]ox + A[j,1]oy + A[j,2]oz + b_j)
 #   9:12 b
 #   12:15 geometric normal (unit)
-# matt_ref row layout (T_pad, 16):
+#   15   material index (as f32)
+# matt_ref row layout (M_pad, 16), one row per MATERIAL (the hit resolve picks
+#   a material id per lane in the triangle loop, then a short loop over the
+#   much smaller material table picks the constants — 4·T + 11·M selects
+#   instead of 15·T):
 #   0:3 kd, 3:6 ks, 6:9 ka, 9 ns, 10 ni, 11 mtype (as f32)
 
 # bounce-loop lowering inside the kernel: "while" gives whole-block early exit
@@ -122,23 +126,24 @@ def _onb(nx, ny, nz):
 UNROLL_MAX_TRIS = 128
 
 
-def _make_render_kernel(static_tris: int | None, use_nee: bool,
-                        use_mis: bool, static_lights: int):
+def _make_render_kernel(static_tris: int | None, static_mats: int | None,
+                        use_nee: bool, use_mis: bool, static_lights: int):
     def kernel(si_ref, sf_ref, tri_ref, matt_ref, lit_ref, r_ref, g_ref,
                b_ref, seg_ref):
-        return _render_body(static_tris, use_nee, use_mis, static_lights,
-                            si_ref, sf_ref, tri_ref, matt_ref, lit_ref,
-                            r_ref, g_ref, b_ref, seg_ref)
+        return _render_body(static_tris, static_mats, use_nee, use_mis,
+                            static_lights, si_ref, sf_ref, tri_ref, matt_ref,
+                            lit_ref, r_ref, g_ref, b_ref, seg_ref)
 
     return kernel
 
 
-def _render_body(static_tris, use_nee, use_mis, static_lights, si_ref, sf_ref,
-                 tri_ref, matt_ref, lit_ref, r_ref, g_ref, b_ref, seg_ref):
+def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
+                 si_ref, sf_ref, tri_ref, matt_ref, lit_ref, r_ref, g_ref,
+                 b_ref, seg_ref):
     """One block of BLK rays, full path trace.
 
     si_ref (SMEM i32): 0 width, 1 height, 2 n_tris, 3 max_depth, 4 seed,
-                       5 rr_enabled, 6 rr_start_depth, 7 n_pixels
+                       5 rr_enabled, 6 rr_start_depth, 7 n_pixels, 8 n_mats
     sf_ref (SMEM f32): 0:3 cam pos, 3:6 fwd, 6:9 right, 9:12 up,
                        12 half_w, 13 half_h, 14 eps, 15 t_min,
                        16 total light area
@@ -153,8 +158,9 @@ def _render_body(static_tris, use_nee, use_mis, static_lights, si_ref, sf_ref,
 
     # hoisted loop-invariant per-triangle scalars (unrolled specialization)
     if static_tris is not None:
-        tri_c = [[tri_ref[t, j] for j in range(15)] for t in range(static_tris)]
-        mat_c = [[matt_ref[t, j] for j in range(12)] for t in range(static_tris)]
+        tri_c = [[tri_ref[t, j] for j in range(16)] for t in range(static_tris)]
+    if static_mats is not None:
+        mat_c = [[matt_ref[m, j] for j in range(12)] for m in range(static_mats)]
     if use_nee:
         lit_c = [[lit_ref[t, j] for j in range(16)]
                  for t in range(static_lights)]
@@ -273,36 +279,48 @@ def _render_body(static_tris, use_nee, use_mis, static_lights, si_ref, sf_ref,
         hit = (best_t < 3.0e38) & (alive > 0.0)
         segs = segs + alive
 
-        # ---- resolve per-hit constants: second pass, select by best_i ----
-        _offs = [(0, 12), (0, 13), (0, 14),
-                 (1, 0), (1, 1), (1, 2), (1, 3), (1, 4), (1, 5),
-                 (1, 6), (1, 7), (1, 8), (1, 9), (1, 10), (1, 11)]
-
-        def res_body(t, acc):
+        # ---- resolve: normal + material id per triangle, then material
+        # constants from the (small) material table ----
+        def res_tri(t, acc, c):
             sel = best_i == t
-            refs = (tri_ref, matt_ref)
-            return tuple(
-                jnp.where(sel, refs[r][t, off], acc[j])
-                for j, (r, off) in enumerate(_offs)
+            return (
+                jnp.where(sel, c[12], acc[0]),
+                jnp.where(sel, c[13], acc[1]),
+                jnp.where(sel, c[14], acc[2]),
+                jnp.where(sel, c[15], acc[3]),
             )
 
-        def res_body_unrolled(t, acc):
-            sel = best_i == t
-            consts = (tri_c[t], mat_c[t])
-            return tuple(
-                jnp.where(sel, consts[r][off], acc[j])
-                for j, (r, off) in enumerate(_offs)
-            )
-
-        init_res = tuple(zeros for _ in range(15))
+        init_res = (zeros, zeros, zeros, zeros)
         if static_tris is not None:
             resolved = init_res
             for t in range(static_tris):
-                resolved = res_body_unrolled(t, resolved)
+                resolved = res_tri(t, resolved, tri_c[t])
         else:
-            resolved = jax.lax.fori_loop(0, n_tris, res_body, init_res)
-        (nx, ny, nz, kdx, kdy, kdz, ksx, ksy, ksz, kax, kay, kaz, ns_, ni_,
-         mtype) = resolved
+            resolved = jax.lax.fori_loop(
+                0, n_tris,
+                lambda t, acc: res_tri(t, acc, [tri_ref[t, j] for j in
+                                                range(16)]),
+                init_res,
+            )
+        nx, ny, nz, mid = resolved
+
+        def res_mat(m, acc, c):
+            sel = mid == m  # mid carries the material index as f32
+            return tuple(jnp.where(sel, c[j], acc[j]) for j in range(12))
+
+        init_mat = tuple(zeros for _ in range(12))
+        if static_mats is not None:
+            matv = init_mat
+            for m in range(static_mats):
+                matv = res_mat(float(m), matv, mat_c[m])
+        else:
+            matv = jax.lax.fori_loop(
+                0, si_ref[8],
+                lambda m, acc: res_mat(m.astype(jnp.float32), acc,
+                                       [matt_ref[m, j] for j in range(12)]),
+                init_mat,
+            )
+        (kdx, kdy, kdz, ksx, ksy, ksz, kax, kay, kaz, ns_, ni_, mtype) = matv
 
         # flip normal to face the ray (intersect.cl:23-25)
         ndotd = nx * dx + ny * dy + nz * dz
@@ -575,9 +593,10 @@ class MegaScene(NamedTuple):
     """Device tables for the megakernel (built once per scene)."""
 
     tri: jnp.ndarray  # (T_pad, 16) f32
-    matt: jnp.ndarray  # (T_pad, 16) f32
+    matt: jnp.ndarray  # (M, 16) f32 — one row per material
     lit: jnp.ndarray  # (L_pad, 16) f32 — emissive-tri table (NEE)
     n_tris: int
+    n_mats: int
     n_lights: int
     eps: float
     total_light_area: float
@@ -598,14 +617,16 @@ def build_megascene(scene: T.Scene, lights=None) -> MegaScene:
     tri[:, 12:15] = normals
 
     mat_id = np.clip(np.asarray(scene.geom.mat_id), 0, None)
+    tri[:, 15] = mat_id.astype(np.float32)
     mats = scene.materials
-    matt = np.zeros((t_count, 16), np.float32)
-    matt[:, 0:3] = np.asarray(mats.kd)[mat_id]
-    matt[:, 3:6] = np.asarray(mats.ks)[mat_id]
-    matt[:, 6:9] = np.asarray(mats.ka)[mat_id]
-    matt[:, 9] = np.asarray(mats.ns)[mat_id]
-    matt[:, 10] = np.asarray(mats.ni)[mat_id]
-    matt[:, 11] = np.asarray(mats.mtype)[mat_id].astype(np.float32)
+    m_count = max(int(mats.count), 1)
+    matt = np.zeros((m_count, 16), np.float32)
+    matt[: mats.count, 0:3] = np.asarray(mats.kd)
+    matt[: mats.count, 3:6] = np.asarray(mats.ks)
+    matt[: mats.count, 6:9] = np.asarray(mats.ka)
+    matt[: mats.count, 9] = np.asarray(mats.ns)
+    matt[: mats.count, 10] = np.asarray(mats.ni)
+    matt[: mats.count, 11] = np.asarray(mats.mtype).astype(np.float32)
 
     pad = (-t_count) % 8
     if pad:
@@ -634,8 +655,8 @@ def build_megascene(scene: T.Scene, lights=None) -> MegaScene:
         lit = np.zeros((1, 16), np.float32)
     return MegaScene(
         tri=jnp.asarray(tri), matt=jnp.asarray(matt), lit=jnp.asarray(lit),
-        n_tris=t_count, n_lights=n_lights, eps=float(scene.eps),
-        total_light_area=total_area,
+        n_tris=t_count, n_mats=m_count, n_lights=n_lights,
+        eps=float(scene.eps), total_light_area=total_area,
     )
 
 
@@ -651,7 +672,7 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
     return _render_mega_jit(
         mega.tri, mega.matt, mega.lit, cam, width, height, spp, seed,
         max_depth, rr, rr_start, nee and mega.n_lights > 0, mis, t_min,
-        interpret, mega.n_tris, mega.n_lights, mega.eps,
+        interpret, mega.n_tris, mega.n_mats, mega.n_lights, mega.eps,
         mega.total_light_area,
     )
 
@@ -659,18 +680,19 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "rr", "rr_start",
-                     "nee", "mis", "t_min", "interpret", "n_tris", "n_lights",
-                     "eps", "total_light_area"),
+                     "nee", "mis", "t_min", "interpret", "n_tris", "n_mats",
+                     "n_lights", "eps", "total_light_area"),
 )
 def _render_mega_jit(tri, matt, lit, cam, width, height, spp, seed, max_depth,
-                     rr, rr_start, nee, mis, t_min, interpret, n_tris,
+                     rr, rr_start, nee, mis, t_min, interpret, n_tris, n_mats,
                      n_lights, eps, total_light_area):
     n_pixels = width * height
     n_rays = n_pixels * spp
     n_blocks = (n_rays + BLK - 1) // BLK
 
     si = jnp.array(
-        [width, height, n_tris, max_depth, 0, int(rr), rr_start, n_pixels],
+        [width, height, n_tris, max_depth, 0, int(rr), rr_start, n_pixels,
+         n_mats],
         jnp.int32,
     )
     si = si.at[4].set(jnp.asarray(seed, jnp.int32))
@@ -702,8 +724,9 @@ def _render_mega_jit(tri, matt, lit, cam, width, height, spp, seed, max_depth,
         for _ in range(4)
     ]
     static_tris = n_tris if n_tris <= UNROLL_MAX_TRIS else None
+    static_mats = n_mats if n_mats <= 64 else None
     r, g, b, segs = pl.pallas_call(
-        _make_render_kernel(static_tris, nee, mis, n_lights),
+        _make_render_kernel(static_tris, static_mats, nee, mis, n_lights),
         grid=grid,
         out_shape=out_shape,
         in_specs=[
