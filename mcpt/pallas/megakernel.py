@@ -143,7 +143,8 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
     """One block of BLK rays, full path trace.
 
     si_ref (SMEM i32): 0 width, 1 height, 2 n_tris, 3 max_depth, 4 seed,
-                       5 rr_enabled, 6 rr_start_depth, 7 n_pixels, 8 n_mats
+                       5 rr_enabled, 6 rr_start_depth, 7 n_pixels, 8 n_mats,
+                       9 n_lights
     sf_ref (SMEM f32): 0:3 cam pos, 3:6 fwd, 6:9 right, 9:12 up,
                        12 half_w, 13 half_h, 14 eps, 15 t_min,
                        16 total light area
@@ -161,9 +162,11 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
         tri_c = [[tri_ref[t, j] for j in range(16)] for t in range(static_tris)]
     if static_mats is not None:
         mat_c = [[matt_ref[m, j] for j in range(12)] for m in range(static_mats)]
-    if use_nee:
+    unroll_lights = use_nee and static_lights <= 16
+    if unroll_lights:
         lit_c = [[lit_ref[t, j] for j in range(16)]
                  for t in range(static_lights)]
+    if use_nee:
         area_l = sf_ref[16]
 
     n_pixels = si_ref[7]
@@ -183,17 +186,22 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
     sy = fy / h_f - 0.5
     half_w = sf_ref[12]
     half_h = sf_ref[13]
-    dx = sf_ref[3] + 2.0 * sx * half_w * sf_ref[6] + 2.0 * sy * half_h * sf_ref[9]
-    dy = sf_ref[4] + 2.0 * sx * half_w * sf_ref[7] + 2.0 * sy * half_h * sf_ref[10]
-    dz = sf_ref[5] + 2.0 * sx * half_w * sf_ref[8] + 2.0 * sy * half_h * sf_ref[11]
+    # pinhole vs orthographic blend (rayGenerator.cl:13-27; sf[17] = is_ortho)
+    w_ort = sf_ref[17]
+    offx = 2.0 * sx * half_w * sf_ref[6] + 2.0 * sy * half_h * sf_ref[9]
+    offy = 2.0 * sx * half_w * sf_ref[7] + 2.0 * sy * half_h * sf_ref[10]
+    offz = 2.0 * sx * half_w * sf_ref[8] + 2.0 * sy * half_h * sf_ref[11]
+    dx = sf_ref[3] + (1.0 - w_ort) * offx
+    dy = sf_ref[4] + (1.0 - w_ort) * offy
+    dz = sf_ref[5] + (1.0 - w_ort) * offz
     dx, dy, dz = _normalize3(dx, dy, dz)
     # iota-derived zeros: forces a standard (non-replicated) vector layout on
     # every loop-carry init — broadcast-constant inits trip a Mosaic relayout
     # bug ("non-singleton dimension replicated in destination") in this kernel
     zeros = (row + col).astype(jnp.float32) * 0.0
-    ox = zeros + sf_ref[0]
-    oy = zeros + sf_ref[1]
-    oz = zeros + sf_ref[2]
+    ox = zeros + sf_ref[0] + w_ort * offx
+    oy = zeros + sf_ref[1] + w_ort * offy
+    oz = zeros + sf_ref[2] + w_ort * offz
 
     eps = sf_ref[14]
     t_min = sf_ref[15]
@@ -421,19 +429,40 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
             ul = _u01(seed, salt0 + 5, ray_idx)
             ua = _u01(seed, salt0 + 6, ray_idx)
             ub = _u01(seed, salt0 + 7, ray_idx)
-            # area-proportional light pick via the CDF (unrolled selects)
-            lsel = [zeros for _ in range(15)]
-            prev_cdf = 0.0
-            for li in range(static_lights):
-                c = lit_c[li]
-                in_bin = (ul >= prev_cdf) & (ul < c[15]) if li > 0 else (
-                    ul < c[15]
-                )
-                if li == static_lights - 1:
-                    in_bin = in_bin | (ul >= c[15])  # numeric tail
+            # area-proportional light pick via the CDF
+            if unroll_lights:
+                lsel = [zeros for _ in range(15)]
+                prev_cdf = 0.0
+                for li in range(static_lights):
+                    c = lit_c[li]
+                    in_bin = (ul >= prev_cdf) & (ul < c[15]) if li > 0 else (
+                        ul < c[15]
+                    )
+                    if li == static_lights - 1:
+                        in_bin = in_bin | (ul >= c[15])  # numeric tail
+                    for j in range(15):
+                        lsel[j] = jnp.where(in_bin, c[j], lsel[j])
+                    prev_cdf = c[15]
+            else:
+                # many lights: fori with f32 carries (prev-cdf is a scalar)
+                def lp_body(li, acc):
+                    prev_cdf = acc[15]
+                    cdf_li = lit_ref[li, 15]
+                    in_bin = (ul >= prev_cdf) & (ul < cdf_li)
+                    out = tuple(
+                        jnp.where(in_bin, lit_ref[li, j], acc[j])
+                        for j in range(15)
+                    )
+                    return out + (cdf_li,)
+
+                acc0 = tuple(zeros for _ in range(15)) + (jnp.float32(-1.0),)
+                lp = jax.lax.fori_loop(0, si_ref[9], lp_body, acc0)
+                lsel = list(lp[:15])
+                # numeric tail (ul ≥ last cdf): redo last light via mask
+                last = si_ref[9] - 1
+                tail = ul >= lit_ref[last, 15]
                 for j in range(15):
-                    lsel[j] = jnp.where(in_bin, c[j], lsel[j])
-                prev_cdf = c[15]
+                    lsel[j] = jnp.where(tail, lit_ref[last, j], lsel[j])
             su_ = jnp.sqrt(ua)
             b1 = su_ * (1.0 - ub)
             b2 = su_ * ub
@@ -468,7 +497,7 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
             soy = hy + eps * iwy
             soz = hz + eps * iwz
             limit = dist - 2.0 * eps
-            occ = zeros > 1.0  # all-false
+            occ = zeros  # f32 occlusion mask (bool loop carries miscompile)
 
             def shadow_test(c):
                 opz = c[6] * sox + c[7] * soy + c[8] * soz + c[11]
@@ -485,15 +514,17 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
 
             if static_tris is not None:
                 for t in range(static_tris):
-                    occ = occ | shadow_test(tri_c[t])
+                    occ = jnp.maximum(
+                        occ, shadow_test(tri_c[t]).astype(jnp.float32)
+                    )
             else:
                 def sh_body(t, o):
                     c = [tri_ref[t, j] for j in range(12)]
-                    return o | shadow_test(c)
+                    return jnp.maximum(o, shadow_test(c).astype(jnp.float32))
 
                 occ = jax.lax.fori_loop(0, n_tris, sh_body, occ)
 
-            vis = (cand & (~occ)).astype(jnp.float32)
+            vis = cand.astype(jnp.float32) * (1.0 - occ)
             segs = segs + cand.astype(jnp.float32)
             if use_mis:
                 rat2 = pdf_b2 / jnp.maximum(pdf_sa, 1e-12)
@@ -692,7 +723,7 @@ def _render_mega_jit(tri, matt, lit, cam, width, height, spp, seed, max_depth,
 
     si = jnp.array(
         [width, height, n_tris, max_depth, 0, int(rr), rr_start, n_pixels,
-         n_mats],
+         n_mats, n_lights],
         jnp.int32,
     )
     si = si.at[4].set(jnp.asarray(seed, jnp.int32))
@@ -711,6 +742,7 @@ def _render_mega_jit(tri, matt, lit, cam, width, height, spp, seed, max_depth,
                 ]
             ),
             jnp.asarray([total_light_area], jnp.float32),
+            cam.is_ortho.reshape(1),
         ]
     ).astype(jnp.float32)
 

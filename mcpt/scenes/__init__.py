@@ -1,1 +1,6 @@
-from mcpt.scenes.procedural import cornell_box, furnace_sphere, quad_light_plane  # noqa: F401
+from mcpt.scenes.procedural import (  # noqa: F401
+    cornell_box,
+    furnace_sphere,
+    quad_light_plane,
+    veach_mis,
+)

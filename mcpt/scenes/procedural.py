@@ -215,6 +215,72 @@ def furnace_sphere(albedo: float = 0.5, emission: float = 1.0, subdiv: int = 3):
     return loaded, cam
 
 
+def veach_mis(n_plates: int = 4) -> tuple[LoadedObject, CameraConfig]:
+    """Veach MIS-style scene: four glossy plates of increasing roughness lit by
+    light sources of decreasing size/increasing intensity — the classic
+    stress test for BSDF-vs-light sampling (the reference's second workload,
+    ``Scene/veach_mis``; its .obj isn't shipped, so this is a procedurally
+    built equivalent using the reference camera, ``config.json:44-55``)."""
+    tris: list = []
+    mat_id: list[int] = []
+
+    def add(quads, m):
+        tris.extend(quads)
+        mat_id.extend([m] * len(quads))
+
+    # materials: 0 floor diffuse, 1..4 glossy plates (Ns high→low),
+    # 5..8 emitters (small/bright → large/dim)
+    mtype = [types.DIFFUSE] + [types.GLOSSY] * n_plates + [types.LIGHT] * 4
+    kd = [[0.4, 0.4, 0.4]] + [[0.03, 0.03, 0.03]] * n_plates + [[0, 0, 0]] * 4
+    ks = [[0, 0, 0]] + [[0.9, 0.9, 0.9]] * n_plates + [[0, 0, 0]] * 4
+    ka = [[0, 0, 0]] * (1 + n_plates) + [
+        [901.0, 901.0, 901.0], [100.0, 100.0, 100.0],
+        [11.1, 11.1, 11.1], [1.23, 1.23, 1.23],
+    ]
+    ns = [0.0] + [5000.0, 800.0, 120.0, 20.0][:n_plates] + [0.0] * 4
+    ni = [1.0] * (1 + n_plates + 4)
+
+    # floor + back wall
+    add(_quad((-15, -5, -5), (-15, -5, 15), (15, -5, 15), (15, -5, -5)), 0)
+    add(_quad((-15, -5, -6), (15, -5, -6), (15, 12, -6), (-15, 12, -6)), 0)
+
+    cam_pos = np.array([0.0, 2.0, 15.0])
+    light_center = np.array([0.0, 0.8, 0.0])
+    # tilted plates: each plate's tilt solved so it mirrors the light row into
+    # the camera (half-vector construction, the defining property of the scene)
+    for i in range(n_plates):
+        center = np.array([0.0, -1.2 - 0.95 * i, 3.2 - 1.1 * i])
+        to_l = light_center - center
+        to_c = cam_pos - center
+        h = to_l / np.linalg.norm(to_l) + to_c / np.linalg.norm(to_c)
+        n = h / np.linalg.norm(h)
+        x_axis = np.array([1.0, 0, 0])
+        t = np.cross(x_axis, n)
+        t /= np.linalg.norm(t)
+        w = 0.55  # half-width along the tilt direction
+        p00 = center - 6 * x_axis - w * t
+        p01 = center + 6 * x_axis - w * t
+        p11 = center + 6 * x_axis + w * t
+        p10 = center - 6 * x_axis + w * t
+        add(_quad(tuple(p00), tuple(p01), tuple(p11), tuple(p10)), 1 + i)
+    # sphere lights: equal power, increasing radius left→right
+    radii = [0.05, 0.15, 0.45, 1.35]
+    xs = [-4.5, -1.5, 1.5, 4.5]
+    for i, (rad, x) in enumerate(zip(radii, xs)):
+        sph = icosphere((x, light_center[1], light_center[2]), rad, subdiv=1)
+        tris.extend(sph.tolist())
+        mat_id.extend([1 + n_plates + i] * len(sph))
+
+    loaded = loaded_from_arrays(
+        np.asarray(tris, np.float32), mat_id, mtype, kd, ks, ka, ns, ni
+    )
+    cam = CameraConfig(
+        position=(0, 2, 15), lookat=(0, -2, 2.5), up=(0, 1, 0), fov=28,
+        resolution=(768, 512),
+    )
+    return loaded, cam
+
+
 def quad_light_plane(light_y: float = 2.0, half: float = 0.5,
                      emission: float = 4.0, albedo: float = 0.6):
     """A diffuse ground plane lit by a square area light — closed-form direct
