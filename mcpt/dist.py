@@ -167,3 +167,53 @@ def replicate(tree, mesh: Mesh):
     """Place a pytree replicated over the mesh (scene/BVH/materials/camera)."""
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+def render_mega_sharded(
+    mega,
+    cam: Camera,
+    width: int,
+    height: int,
+    spp: int,
+    mesh: Mesh,
+    seed: int = 0,
+    max_depth: int = 16,
+    nee: bool = False,
+    mis: bool = False,
+    rr: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sharded megakernel render: every device runs the fused Pallas kernel on
+    the full image at ``spp / n_devices`` samples with a device-unique seed;
+    radiance sums ``psum`` over the whole mesh (sample-axis data parallelism —
+    scene tables are VMEM-resident per chip, so replication is free).
+
+    Returns the (W·H, 3) radiance sum over all ``spp`` samples, replicated.
+    """
+    from mcpt.pallas import megakernel as mk
+
+    n_dev = mesh.devices.size
+    assert spp % n_dev == 0, (spp, n_dev)
+    spp_local = spp // n_dev
+
+    def step(tri, matt, lit, cam_):
+        mega_local = mega._replace(tri=tri, matt=matt, lit=lit)
+        si = jax.lax.axis_index("samples")
+        pi = jax.lax.axis_index("pixels")
+        dev_seed = seed + (si * mesh.shape["pixels"] + pi) * 65537 + 1
+        rad, _segs = mk.render_mega(
+            mega_local, cam_, width, height, spp=spp_local, seed=dev_seed,
+            max_depth=max_depth, nee=nee, mis=mis, rr=rr, interpret=interpret,
+        )
+        rad = jax.lax.psum(rad, axis_name="samples")
+        return jax.lax.psum(rad, axis_name="pixels")
+
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )(mega.tri, mega.matt, mega.lit, cam)

@@ -67,6 +67,26 @@ def test_sharded_matches_single_device():
     assert abs(m_sh - m_1) < 0.05 * max(m_1, 1e-3)
 
 
+def test_mega_sharded_furnace_exact(furnace):
+    """The fused Pallas kernel under shard_map: furnace identity must survive
+    sample-axis DP + psum (kernel runs in TPU-interpret mode on the CPU mesh)."""
+    from mcpt.pallas import megakernel as mk
+
+    scene, lights, cam = furnace
+    mega = mk.build_megascene(scene, lights)
+    mesh = dist.make_mesh(samples=4, pixels=2)
+    res = 16
+    import dataclasses
+
+    rad = dist.render_mega_sharded(
+        mega, cam, res, res, spp=8, mesh=mesh, seed=0, max_depth=6,
+        interpret=True,
+    )
+    img = np.asarray(rad).reshape(res, res, 3) / 8
+    np.testing.assert_allclose(img[res // 2, res // 2], 0.5, atol=1e-5)
+    np.testing.assert_allclose(img[0, 0], 1.0, atol=1e-5)
+
+
 def test_sharded_deterministic(furnace):
     scene, lights, cam = furnace
     mesh = dist.make_mesh(samples=2, pixels=4)
