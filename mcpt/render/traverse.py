@@ -247,6 +247,13 @@ def intersect_bvh(
             jnp.where(ok, t, jnp.inf), jnp.where(ok, 0, -1),
         )
 
+    # Packed gather tables: TPU dynamic-gathers have high per-op overhead, so
+    # fetch wide rows — one (R,2) children gather, one (R,2,6) both-children box
+    # gather and one (R,9) triangle gather per step instead of eight narrow ones.
+    boxes6 = jnp.concatenate([bvh.bbmin, bvh.bbmax], axis=1)  # (2N-1, 6)
+    children = jnp.stack([bvh.left, bvh.right], axis=1)  # (2N-1, 2)
+    verts9 = geom.verts.reshape(n, 9)
+
     def cond(state):
         return jnp.any(state.sp > 0)
 
@@ -258,20 +265,24 @@ def intersect_bvh(
         sp = jnp.where(live, state.sp - 1, state.sp)
 
         is_leaf = node >= leaf_base
+        ch = children[node]  # (R, 2): children, or (tri, tri) for leaves
+        lc = ch[:, 0]
+        rc = ch[:, 1]
 
         # --- leaf path: Möller–Trumbore on the node's triangle ---
-        tri_id = jnp.clip(bvh.left[node], 0, n - 1)
-        v = geom.verts[tri_id]
-        t_hit, m_hit = moller_trumbore(origin, direction, v[:, 0], v[:, 1], v[:, 2])
+        tri_id = jnp.clip(lc, 0, n - 1)
+        v = verts9[tri_id]
+        t_hit, m_hit = moller_trumbore(
+            origin, direction, v[:, 0:3], v[:, 3:6], v[:, 6:9]
+        )
         take = live & is_leaf & m_hit & (t_hit < state.t)
         t_new = jnp.where(take, t_hit, state.t)
         tri_new = jnp.where(take, tri_id, state.tri)
 
         # --- internal path: test both children, push far then near ---
-        lc = bvh.left[node]
-        rc = bvh.right[node]
-        hit_l, tn_l = _slab(bvh.bbmin[lc], bvh.bbmax[lc], origin, inv_dir, t_new)
-        hit_r, tn_r = _slab(bvh.bbmin[rc], bvh.bbmax[rc], origin, inv_dir, t_new)
+        cb = boxes6[jnp.where(is_leaf[:, None], 0, ch)]  # (R, 2, 6)
+        hit_l, tn_l = _slab(cb[:, 0, 0:3], cb[:, 0, 3:6], origin, inv_dir, t_new)
+        hit_r, tn_r = _slab(cb[:, 1, 0:3], cb[:, 1, 3:6], origin, inv_dir, t_new)
         inner = live & ~is_leaf
         hit_l = hit_l & inner
         hit_r = hit_r & inner

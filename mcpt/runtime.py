@@ -1,0 +1,102 @@
+"""Runtime utilities: profiling, compile cache, device info.
+
+The slice of the reference's ``OpenCLBasic`` runtime layer (``oclbasic.{h,cpp}``)
+that still has meaning on TPU: per-stage timing (the analogue of CL event
+profiling, ``oclbasic.cpp:232-247`` ``timeCost``), a device-info dump
+(``oclbasic.cpp:265-267``), plus TPU-era niceties — a persistent compilation
+cache (JIT compiles are the TPU analogue of the reference's runtime
+``clBuildProgram``, ``oclbasic.cpp:134-152``, and worth caching across
+processes) and throughput accounting.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+from collections import defaultdict
+
+
+def enable_compile_cache(path: str | None = None) -> str:
+    """Persist XLA compilations across processes (first compile of the render
+    program takes tens of seconds; cached reloads take ~100 ms)."""
+    import jax
+
+    path = path or os.path.join(
+        os.path.expanduser("~"), ".cache", "mcpt-jax-cache"
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path
+
+
+def device_info() -> str:
+    """Human-readable device summary (reference device-info dump analogue)."""
+    import jax
+
+    lines = [f"backend: {jax.default_backend()}"]
+    for d in jax.devices():
+        mem = getattr(d, "memory_stats", lambda: None)()
+        memline = ""
+        if mem:
+            total = mem.get("bytes_limit", 0) / 2**30
+            used = mem.get("bytes_in_use", 0) / 2**30
+            memline = f", hbm {used:.2f}/{total:.2f} GiB"
+        lines.append(
+            f"  {d.device_kind} id={d.id} process={d.process_index}{memline}"
+        )
+    return "\n".join(lines)
+
+
+class StageTimer:
+    """Accumulating per-stage wall timer with forced device sync.
+
+    The TPU analogue of the reference's profiling-enabled queue + ``timeCost``:
+    JAX dispatch is async (and the axon relay makes ``block_until_ready`` alone
+    unreliable), so each stage closes over a scalar readback.
+
+        timer = StageTimer()
+        with timer.stage("intersect"):
+            out = f(x)
+            timer.sync(out)
+        print(timer.report())
+    """
+
+    def __init__(self):
+        self.totals: dict[str, float] = defaultdict(float)
+        self.counts: dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        yield
+        self.totals[name] += time.perf_counter() - t0
+        self.counts[name] += 1
+
+    @staticmethod
+    def sync(tree) -> None:
+        """Force completion: jax.block_until_ready + a scalar readback."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        leaves = jax.tree.leaves(tree)
+        if leaves:
+            jax.block_until_ready(leaves)
+            np.asarray(jnp.ravel(leaves[0])[0])  # definitive sync
+
+    def report(self) -> str:
+        width = max((len(k) for k in self.totals), default=0)
+        lines = []
+        for name, total in sorted(self.totals.items(), key=lambda kv: -kv[1]):
+            n = self.counts[name]
+            lines.append(
+                f"{name:<{width}}  {total*1e3:9.2f} ms total  "
+                f"{total/n*1e3:9.2f} ms/call  ×{n}"
+            )
+        return "\n".join(lines)
+
+
+def mrays(segments: float, seconds: float) -> float:
+    return segments / max(seconds, 1e-12) / 1e6

@@ -1,4 +1,5 @@
 from mcpt.scenes.procedural import (  # noqa: F401
+    boxfield,
     cornell_box,
     furnace_sphere,
     quad_light_plane,

@@ -281,6 +281,49 @@ def veach_mis(n_plates: int = 4) -> tuple[LoadedObject, CameraConfig]:
     return loaded, cam
 
 
+def boxfield(n_boxes: int = 9000, seed: int = 0):
+    """Large-BVH stress scene (~12·n_boxes triangles): a field of randomly
+    sized/placed boxes under a big area light — the stand-in for
+    diningroom-class meshes (the reference's third workload, whose .obj is not
+    shipped).  Exercises deep, divergent BVH traversal in the wavefront path."""
+    rng = np.random.default_rng(seed)
+    tris: list = []
+    mat_id: list[int] = []
+    g = 120.0
+    tris += _quad((-g, 0, -g), (-g, 0, g), (g, 0, g), (g, 0, -g))
+    mat_id += [0, 0]
+    centers = rng.uniform(-100, 100, (n_boxes, 2))
+    sizes = rng.uniform(0.4, 3.0, (n_boxes, 3))
+    heights = rng.uniform(0.5, 8.0, n_boxes)
+    for i in range(n_boxes):
+        cx, cz = centers[i]
+        sx, _, sz = sizes[i]
+        b = _box((cx - sx, 0, cz - sz), (cx + sx, heights[i], cz + sz))
+        tris += b
+        mat_id += [1 + (i % 3)] * len(b)
+    # sky light: large emissive quad high above
+    tris += _quad((-150, 60, -150), (150, 60, -150), (150, 60, 150),
+                  (-150, 60, 150))
+    mat_id += [4, 4]
+    loaded = loaded_from_arrays(
+        np.asarray(tris, np.float32),
+        mat_id,
+        mtype=[types.DIFFUSE, types.DIFFUSE, types.GLOSSY, types.DIFFUSE,
+               types.LIGHT],
+        kd=[[0.5, 0.5, 0.5], [0.7, 0.3, 0.2], [0.1, 0.1, 0.1],
+            [0.2, 0.4, 0.7], [0, 0, 0]],
+        ks=[[0, 0, 0], [0, 0, 0], [0.8, 0.8, 0.8], [0, 0, 0], [0, 0, 0]],
+        ka=[[0, 0, 0]] * 4 + [[3.0, 3.0, 3.0]],
+        ns=[0, 0, 60.0, 0, 0],
+        ni=[1.0] * 5,
+    )
+    cam = CameraConfig(
+        position=(0, 25, 110), lookat=(0, 2, 0), up=(0, 1, 0), fov=50,
+        resolution=(640, 360),
+    )
+    return loaded, cam
+
+
 def quad_light_plane(light_y: float = 2.0, half: float = 0.5,
                      emission: float = 4.0, albedo: float = 0.6):
     """A diffuse ground plane lit by a square area light — closed-form direct

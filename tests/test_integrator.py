@@ -141,6 +141,31 @@ def test_checkpoint_resume(quadlight):
     )
 
 
+def test_boxfield_large_scene():
+    """Large-BVH wavefront path end-to-end (the diningroom-class stand-in)."""
+    from mcpt.scenes import boxfield
+
+    loaded, camcfg = boxfield(400, seed=1)
+    scene, lights = build_scene(loaded)
+    assert scene.n_tris > 4000
+    import dataclasses
+
+    camcfg = dataclasses.replace(camcfg, resolution=(24, 16))
+    cam = cm.make_camera(camcfg)
+    opts = RenderOptions(max_depth=3, method="bvh", nee=True, mis=True)
+    rad = integ.render_sample(scene, lights, cam, 24, 16, jax.random.key(0),
+                              opts)
+    img = np.asarray(rad).reshape(16, 24, 3)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01  # lit by the sky quad
+    # BVH path must agree with brute force on this scene
+    opts_b = RenderOptions(max_depth=3, method="brute", nee=True, mis=True)
+    rad_b = integ.render_sample(scene, lights, cam, 24, 16, jax.random.key(0),
+                                opts_b)
+    np.testing.assert_allclose(np.asarray(rad), np.asarray(rad_b),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_cornell_box_sanity():
     loaded, camcfg = cornell_box()
     scene, lights = build_scene(loaded)

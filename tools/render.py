@@ -78,6 +78,9 @@ def main(argv=None):
 
     import jax
 
+    from mcpt import runtime
+
+    runtime.enable_compile_cache()
     from mcpt.io import image as im
     from mcpt.render import camera as camera_mod
     from mcpt.render import integrator as integ
