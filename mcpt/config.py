@@ -75,6 +75,9 @@ class IntegratorConfig:
     mis: bool = False
     russian_roulette: bool = False
     rr_start_depth: int = 3
+    # firefly clamp: per-contribution radiance cap, 0 = off (biased; production
+    # noise control — megakernel engine only)
+    clamp: float = 0.0
 
     @staticmethod
     def from_json(d: dict[str, Any] | None) -> "IntegratorConfig":
@@ -84,6 +87,7 @@ class IntegratorConfig:
             mis=bool(d.get("mis", False)),
             russian_roulette=bool(d.get("russian_roulette", False)),
             rr_start_depth=int(d.get("rr_start_depth", 3)),
+            clamp=float(d.get("clamp", 0.0)),
         )
 
 

@@ -362,9 +362,12 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
                 w_hit = zeros
             e_scale = 1.0 - prev_sc * (1.0 - w_hit)
             lmask = lmask * e_scale
-        rr = rr + lmask * tr * kax
-        rg = rg + lmask * tg * kay
-        rb = rb + lmask * tb * kaz
+        # optional per-contribution clamp (sf[18]; 0 disables): suppresses
+        # fireflies at the cost of documented bias (scalar-scalar where is safe)
+        clampv = jnp.where(sf_ref[18] > 0.0, sf_ref[18], jnp.float32(3.0e38))
+        rr = rr + jnp.minimum(lmask * tr * kax, clampv)
+        rg = rg + jnp.minimum(lmask * tg * kay, clampv)
+        rb = rb + jnp.minimum(lmask * tb * kaz, clampv)
 
         salt0 = 8 * depth + 3
         u1 = _u01(seed, salt0, ray_idx)
@@ -532,9 +535,9 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
             else:
                 w_nee = zeros + 1.0
             gain = vis * (cos_s * w_nee / jnp.maximum(pdf_sa, 1e-12))
-            rr = rr + tr * fx_ * lsel[9] * gain
-            rg = rg + tg * fy_ * lsel[10] * gain
-            rb = rb + tb * fz_ * lsel[11] * gain
+            rr = rr + jnp.minimum(tr * fx_ * lsel[9] * gain, clampv)
+            rg = rg + jnp.minimum(tg * fy_ * lsel[10] * gain, clampv)
+            rb = rb + jnp.minimum(tb * fz_ * lsel[11] * gain, clampv)
 
         # ---- transparent: Schlick coin between refraction and mirror ----
         eta_i = jnp.where(inside > 0.0, ni_, 1.0)
@@ -694,7 +697,8 @@ def build_megascene(scene: T.Scene, lights=None) -> MegaScene:
 def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
                 spp: int, seed, max_depth: int = 16, rr: bool = False,
                 rr_start: int = 3, nee: bool = False, mis: bool = False,
-                t_min: float = 1e-4, interpret: bool = False):
+                clamp: float = 0.0, t_min: float = 1e-4,
+                interpret: bool = False):
     """Render spp samples of the full image → ((W·H, 3) radiance sum, segments).
 
     The ray pool is spp·W·H rays in blocks of BLK; sample s of pixel p is ray
@@ -702,7 +706,7 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
     way out)."""
     return _render_mega_jit(
         mega.tri, mega.matt, mega.lit, cam, width, height, spp, seed,
-        max_depth, rr, rr_start, nee and mega.n_lights > 0, mis, t_min,
+        max_depth, rr, rr_start, nee and mega.n_lights > 0, mis, clamp, t_min,
         interpret, mega.n_tris, mega.n_mats, mega.n_lights, mega.eps,
         mega.total_light_area,
     )
@@ -711,12 +715,12 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "rr", "rr_start",
-                     "nee", "mis", "t_min", "interpret", "n_tris", "n_mats",
-                     "n_lights", "eps", "total_light_area"),
+                     "nee", "mis", "clamp", "t_min", "interpret", "n_tris",
+                     "n_mats", "n_lights", "eps", "total_light_area"),
 )
 def _render_mega_jit(tri, matt, lit, cam, width, height, spp, seed, max_depth,
-                     rr, rr_start, nee, mis, t_min, interpret, n_tris, n_mats,
-                     n_lights, eps, total_light_area):
+                     rr, rr_start, nee, mis, clamp, t_min, interpret, n_tris,
+                     n_mats, n_lights, eps, total_light_area):
     n_pixels = width * height
     n_rays = n_pixels * spp
     n_blocks = (n_rays + BLK - 1) // BLK
@@ -743,6 +747,7 @@ def _render_mega_jit(tri, matt, lit, cam, width, height, spp, seed, max_depth,
             ),
             jnp.asarray([total_light_area], jnp.float32),
             cam.is_ortho.reshape(1),
+            jnp.asarray([clamp], jnp.float32),
         ]
     ).astype(jnp.float32)
 

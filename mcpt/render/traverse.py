@@ -144,10 +144,16 @@ def intersect_wald(wald, geom: Geometry, origin, direction, t_max=None,
     def body(carry, wb):
         best_t, best_i, base = carry
         wc, bc = wb  # (3, C, 3), (C, 3)
+        # HIGHEST precision: the TPU MXU's default f32 path splits operands
+        # into bfloat16 passes — not enough mantissa for 550-unit scene
+        # coordinates (hits near triangle edges flip and ~20% of light is
+        # lost); HIGHEST forces the exact-f32 multiply path.
         op = jnp.einsum("rk,kcj->rcj", origin, wc,
-                        preferred_element_type=jnp.float32) + bc[None]
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST) + bc[None]
         dp = jnp.einsum("rk,kcj->rcj", direction, wc,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         t = -op[..., 2] / dp[..., 2]  # (R, C); ±inf where parallel
         u = op[..., 0] + t * dp[..., 0]
         v = op[..., 1] + t * dp[..., 1]

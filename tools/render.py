@@ -140,6 +140,7 @@ def main(argv=None):
                 mega, cam, width, height, spp=step, seed=seed_step,
                 max_depth=opts.max_depth, rr=opts.russian_roulette,
                 rr_start=opts.rr_start_depth, nee=opts.nee, mis=opts.mis,
+                clamp=cfg.integrator.clamp,
             )
             return rad
     else:
