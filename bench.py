@@ -30,8 +30,8 @@ def main() -> int:
     from mcpt.scenes import cornell_box
 
     width = height = 1024
-    spp_per_batch = 8
-    n_batches = 4
+    spp_per_batch = 32
+    n_batches = 2
     max_depth = 16  # the reference cbox workload depth (config.json:14)
 
     loaded, camcfg = cornell_box()
