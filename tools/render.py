@@ -71,7 +71,12 @@ def main(argv=None):
     cfg = load_config(args.config, args.configid)
 
     if cfg.testall or cfg.testbvh:
-        # mode dispatch parity with main.cpp:12-19
+        # mode dispatch parity with main.cpp:12-19.  The metrics harness is
+        # host-side analysis — run it on CPU (device readbacks through the
+        # tunnelled TPU are pathologically slow).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         from tools import bvh_bench
 
         return bvh_bench.run_from_config(cfg)
