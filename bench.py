@@ -57,11 +57,11 @@ def main() -> int:
     jax.block_until_ready(rad)
 
     t0 = time.time()
+    total_segments = 0.0
     for i in range(n_batches):
         rad, seg = step(i + 1)
-        seg_f = float(seg)  # forces completion of this batch
+        total_segments += float(seg)  # readback forces completion of this batch
     elapsed = time.time() - t0
-    total_segments = seg_f * n_batches
 
     mrays = total_segments / elapsed / 1e6
     result = {

@@ -73,20 +73,24 @@ def _delta_fn(hi, lo, n):
 @jax.jit
 def build_lbvh(verts: jnp.ndarray) -> BVH:
     """verts (N, 3, 3) → flattened BVH (layout contract in module docstring)."""
-    n = verts.shape[0]
+    return build_lbvh_boxes(jnp.min(verts, axis=1), jnp.max(verts, axis=1))
+
+
+@jax.jit
+def build_lbvh_boxes(tri_min: jnp.ndarray, tri_max: jnp.ndarray) -> BVH:
+    """Karras LBVH over N arbitrary AABBs (leaves may be triangles, clusters,
+    or whole instances — the builder only sees boxes).  Same layout contract as
+    ``build_lbvh``; leaf ``left == right`` = input box index."""
+    n = tri_min.shape[0]
     if n == 1:
-        bmin = jnp.min(verts[0], axis=0)
-        bmax = jnp.max(verts[0], axis=0)
         return BVH(
-            bbmin=bmin[None],
-            bbmax=bmax[None],
+            bbmin=tri_min[:1],
+            bbmax=tri_max[:1],
             left=jnp.zeros((1,), jnp.int32),
             right=jnp.zeros((1,), jnp.int32),
             parent=jnp.full((1,), -1, jnp.int32),
         )
 
-    tri_min = jnp.min(verts, axis=1)  # (N, 3)
-    tri_max = jnp.max(verts, axis=1)
     centroid = 0.5 * (tri_min + tri_max)
     cmin = jnp.min(centroid, axis=0)
     cmax = jnp.max(centroid, axis=0)

@@ -50,8 +50,12 @@ class CameraConfig:
     position: tuple[float, float, float] = (0.0, 0.0, 0.0)
     lookat: tuple[float, float, float] = (0.0, 0.0, -1.0)
     up: tuple[float, float, float] = (0.0, 1.0, 0.0)
-    fov: float = 0.0  # degrees, vertical; fov == 0 selects the orthographic camera
+    fov: float = 0.0  # degrees, vertical (perspective camera)
     resolution: tuple[int, int] = (0, 0)
+    # orthographic camera (reference cameraType 1, ``rayGenerator.cl:23-27`` —
+    # dead code there, ``auxiliary.cpp:22`` hardcodes type 0): > 0 selects ortho
+    # with this FULL view height in scene units (the kernel's ±arg/2 span).
+    ortho_height: float = 0.0
 
     @staticmethod
     def from_json(d: dict[str, Any] | None) -> "CameraConfig | None":
@@ -63,6 +67,7 @@ class CameraConfig:
             up=tuple(float(x) for x in d.get("up", (0, 1, 0))),
             fov=float(d.get("fov", 0.0)),
             resolution=tuple(int(x) for x in d.get("resolution", (0, 0))),
+            ortho_height=float(d.get("ortho_height", 0.0)),
         )
 
 

@@ -144,6 +144,9 @@ def render_sharded(
     if spp_per_step is None:
         spp_per_step = d_s
     assert spp_per_step % d_s == 0
+    # each sharded step renders a multiple of the samples-axis size; round the
+    # request up ONCE so fb.count always equals the spp actually rendered
+    spp = _pad_to(spp, d_s)
     if fb is None:
         fb = make_framebuffer(width * height)
     base = jax.random.key(seed)
@@ -151,7 +154,7 @@ def render_sharded(
     s = start
     while s < start + spp:
         step = min(spp_per_step, start + spp - s)
-        step = max(d_s, (step // d_s) * d_s)
+        step = (step // d_s) * d_s
         radiance = render_batch_sharded(
             scene, lights, cam, width, height, jax.random.fold_in(base, s),
             opts, step, mesh,

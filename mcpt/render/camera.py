@@ -31,13 +31,27 @@ from mcpt.types import Camera, RayPool
 
 
 def make_camera(cfg: CameraConfig, ortho_height: float | None = None) -> Camera:
-    """Build the orthonormal camera basis on the host (``auxiliary.cpp:20-71``)."""
+    """Build the orthonormal camera basis on the host (``auxiliary.cpp:20-71``).
+
+    ``cfg.ortho_height > 0`` (or the explicit kwarg) selects the orthographic
+    camera (reference cameraType 1): rays share the forward direction and the
+    origin sweeps a ``ortho_height``-tall view plane (``rayGenerator.cl:23-27``'s
+    ``±arg/2`` span).  Otherwise a pinhole with ``fov`` degrees vertical —
+    ``fov <= 0`` is rejected (every pixel would get the identical ray).
+    """
     pos = np.asarray(cfg.position, np.float32)
     lookat = np.asarray(cfg.lookat, np.float32)
     up_in = np.asarray(cfg.up, np.float32)
     fwd = lookat - pos
 
+    if ortho_height is None and cfg.ortho_height > 0.0:
+        ortho_height = cfg.ortho_height
     is_ortho = ortho_height is not None
+    if not is_ortho and cfg.fov <= 0.0:
+        raise ValueError(
+            f"fov must be > 0 for the perspective camera (got {cfg.fov}); "
+            "set camera.ortho_height > 0 for the orthographic camera"
+        )
     if not is_ortho:
         right = np.cross(fwd, up_in)
         up = np.cross(right, fwd)
@@ -52,7 +66,8 @@ def make_camera(cfg: CameraConfig, ortho_height: float | None = None) -> Camera:
     fov_rad = math.radians(cfg.fov)
     # pinhole: ray dir scale is 0.5/tan(fov/2) on the forward axis with ±0.5 spans
     # on up/right (rayGenerator.cl:17-18) ⇒ half_height = tan(fov/2).
-    half_h = math.tan(fov_rad / 2.0) if not is_ortho else float(ortho_height)
+    # ortho: ±ortho_height/2 origin span (rayGenerator.cl:26's ±arg/2)
+    half_h = math.tan(fov_rad / 2.0) if not is_ortho else float(ortho_height) / 2.0
     w, h = cfg.resolution
     aspect = (w / h) if h else 1.0
     return Camera(

@@ -211,26 +211,34 @@ def _round_up(n: int, mult: int = 1024) -> int:
 def _compact_pool(pool: RayPool, prev_scatter, prev_pdf, key, cap: int):
     """Shrink the pool to its live prefix, capacity ``cap`` (static).
 
-    If the live count would overflow 92% of the capacity, paths are first
-    Russian-rouletted down at rate ``p = 0.92·cap/live`` with 1/p throughput
-    compensation — the estimator stays unbiased under any schedule (a too-tight
-    bucket only costs variance, never bias)."""
+    If more than ``cap`` paths are live, exactly ``cap`` survivors are picked
+    uniformly at random (rank selection over random scores — every live ray has
+    inclusion probability ``p = cap/live``) and survivor throughput is scaled by
+    ``1/p``: unbiased under any schedule (a too-tight bucket only costs
+    variance, never bias), and the kept count can never overflow the bucket."""
     r = pool.count
     live = jnp.sum(pool.alive.astype(jnp.int32))
-    target = jnp.float32(0.92 * cap)
-    p_keep = jnp.minimum(1.0, target / jnp.maximum(live.astype(jnp.float32), 1.0))
+    n_keep = jnp.minimum(live, jnp.int32(cap))
+    p_keep = n_keep.astype(jnp.float32) / jnp.maximum(
+        live.astype(jnp.float32), 1.0
+    )
     u = jax.random.uniform(key, (r,))
-    keep = pool.alive & (u < p_keep)
+    # alive rays first, in random order; rank < n_keep selects exactly n_keep
+    order = jnp.argsort(jnp.where(pool.alive, u, 2.0))
+    rank = jnp.zeros((r,), jnp.int32).at[order].set(
+        jnp.arange(r, dtype=jnp.int32)
+    )
+    keep = pool.alive & (rank < n_keep)
     throughput = pool.throughput / p_keep
     # positions of kept rays in the compact prefix
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    n_kept = jnp.sum(keep.astype(jnp.int32))
+    n_kept = n_keep
     perm = jnp.zeros((cap,), jnp.int32)
-    scatter_to = jnp.where(keep, jnp.minimum(pos, cap - 1), cap)  # cap = dropped
+    scatter_to = jnp.where(keep, pos, cap)  # cap = dropped
     perm = perm.at[scatter_to].set(
         jnp.arange(r, dtype=jnp.int32), mode="drop"
     )
-    row_alive = jnp.arange(cap) < jnp.minimum(n_kept, cap)
+    row_alive = jnp.arange(cap) < n_kept
 
     def take(x, fill=0):
         out = x[perm]

@@ -17,7 +17,6 @@ inversion).  Neither maps to TPU execution:
   any tree — the reference has no such path but on TPU it is the fast path for
   cbox-sized scenes.
 
-The Pallas VMEM-resident variant of this loop lives in ``mcpt.pallas``.
 """
 
 from __future__ import annotations

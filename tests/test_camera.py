@@ -81,3 +81,33 @@ def test_jitter_stays_in_pixel():
     assert not np.allclose(d0, d1)  # different jitter
     # directions differ at most by ~2 pixel footprints
     assert np.abs(d0 - d1).max() < 4 * (2 * float(cam.half_height) / 16)
+
+
+def test_ortho_rays_parallel_and_span():
+    """Orthographic camera (rayGenerator.cl:23-27): every ray shares the forward
+    direction; origins sweep a view plane ortho_height tall (±arg/2 span)."""
+    cam = cm.make_camera(_cfg(fov=0.0, ortho_height=4.0, resolution=(64, 64)))
+    pool = cm.generate_rays(cam, 64, 64, key=None, jitter=False)
+    d = np.asarray(pool.direction).reshape(64, 64, 3)
+    fwd = np.asarray(cam.forward)
+    np.testing.assert_allclose(d, np.broadcast_to(fwd, d.shape), atol=1e-6)
+    o = np.asarray(pool.origin).reshape(64, 64, 3)
+    up = np.asarray(cam.up)
+    spans = (o - np.asarray(cam.position)) @ up
+    # corner sampling: py=0 → sy=-0.5 (offset -2), py=63 → sy=63/64-0.5
+    assert spans[0].mean() == pytest.approx(-2.0, abs=1e-5)
+    assert spans[-1].mean() == pytest.approx(4.0 * (63 / 64 - 0.5), abs=1e-5)
+
+
+def test_ortho_config_key_and_degenerate_fov_rejected():
+    from mcpt.config import parse_config_text
+
+    cfg = parse_config_text(
+        '{"config": [{"camera": {"position": [0,0,5], "lookat": [0,0,0],'
+        ' "up": [0,1,0], "ortho_height": 2.5, "resolution": [8, 8]}}]}'
+    )
+    cam = cm.make_camera(cfg.camera)
+    assert float(cam.is_ortho) == 1.0
+    assert float(cam.half_height) == pytest.approx(1.25)
+    with pytest.raises(ValueError, match="fov"):
+        cm.make_camera(_cfg(fov=0.0))

@@ -182,3 +182,23 @@ def test_cornell_box_sanity():
     right = img[mid, 29]
     assert left[0] > 2 * left[2], left
     assert right[2] > 2 * right[0], right
+
+
+def test_ortho_furnace_identity():
+    """Orthographic camera through the furnace: parallel rays through the body
+    still see exactly albedo·E (center) and E (background) — validates the
+    ortho origin-sweep path end-to-end (reference cameraType 1)."""
+    import dataclasses
+
+    from mcpt.scenes import furnace_sphere
+
+    loaded, camcfg = furnace_sphere(albedo=0.5, emission=1.0, subdiv=2)
+    camcfg = dataclasses.replace(
+        camcfg, fov=0.0, ortho_height=4.0, resolution=(32, 32)
+    )
+    scene, lights = build_scene(loaded)
+    cam = cm.make_camera(camcfg)
+    opts = RenderOptions(max_depth=8, method="bvh")
+    img = _img(scene, lights, cam, 32, opts, spp=2)
+    np.testing.assert_allclose(img[16, 16], 0.5, atol=1e-5)
+    np.testing.assert_allclose(img[1, 1], 1.0, atol=1e-5)

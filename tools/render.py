@@ -162,6 +162,9 @@ def main(argv=None):
     t_last, s_last = t0, start_s
     step_size = max(1, cfg.spp_per_step)
     done = start_s
+    # interval triggers track the last fire (done advances in spp_per_step
+    # strides, which may never land on an exact multiple of the interval)
+    snap_last, ckpt_last = done, done
     while done < spp:
         step = min(step_size, spp - done)
         radiance = render_step(cfg.seed + done * 7919, step)
@@ -179,12 +182,15 @@ def main(argv=None):
                 flush=True,
             )
             t_last, s_last = now, done
-        if args.snapshot_every and done % args.snapshot_every == 0 and done < spp:
+        if (args.snapshot_every and done - snap_last >= args.snapshot_every
+                and done < spp):
+            snap_last = done
             img = integ.framebuffer_image(fb, width, height)
             im.write_png(
                 os.path.join(args.out, f"{stem}.png"), im.tonemap_srgb(img[::-1])
             )
-        if args.checkpoint_every and done % args.checkpoint_every == 0:
+        if args.checkpoint_every and done - ckpt_last >= args.checkpoint_every:
+            ckpt_last = done
             np.savez(
                 ckpt_path, sum=np.asarray(fb.sum), count=np.asarray(fb.count),
                 done=done,
