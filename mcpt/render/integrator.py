@@ -383,30 +383,45 @@ def render_batch(scene: Scene, lights: Lights, cam: Camera, width: int,
     keys = jax.random.split(key, spp)
     n = width * height
 
+    # On the block-coherent cluster path, primary rays are generated in square
+    # screen-tile order so each kernel ray block traverses a compact union of
+    # BVH nodes (measured 3.2× on the 108k-tri boxfield); the radiance is
+    # un-permuted once per batch.  Pool order is irrelevant to every other
+    # intersector.
+    tiled = traverse.resolve_method(scene, opts.method) == "cluster"
+    if tiled:
+        from mcpt.pallas import traverse_kernel as tk
+
+        perm, inv_perm = camera_mod.tile_order(width, height, block=tk.BLKT)
+        pix = jnp.asarray(perm)
+        gen = functools.partial(
+            camera_mod.generate_rays_for_pixels, cam, width, height, pix
+        )
+    else:
+        gen = functools.partial(camera_mod.generate_rays, cam, width, height)
+
+    def untile(radiance_sum):
+        return radiance_sum[jnp.asarray(inv_perm)] if tiled else radiance_sum
+
     if spp == 1 and opts.compact is None:
         k_cam, k_path = jax.random.split(keys[0])
-        pool = camera_mod.generate_rays(
-            cam, width, height, key=k_cam, jitter=opts.jitter
-        )
+        pool = gen(key=k_cam, jitter=opts.jitter)
         pool = trace(scene, lights, pool, k_path, opts)
-        return pool.radiance
+        return untile(pool.radiance)
 
     # one flat pool of spp·W·H rays (not vmap: a single big wavefront vectorizes
     # the bounce loop across samples AND pixels, so partially-dead sample slices
     # don't serialize)
     k_cams, _ = jax.vmap(lambda k: tuple(jax.random.split(k)))(keys)
-    pools = jax.vmap(
-        lambda k: camera_mod.generate_rays(cam, width, height, key=k,
-                                           jitter=opts.jitter)
-    )(k_cams)
+    pools = jax.vmap(lambda k: gen(key=k, jitter=opts.jitter))(k_cams)
     flat = jax.tree.map(
         lambda x: x.reshape((spp * n,) + x.shape[2:]), pools
     )
     if opts.compact is not None:
-        # compacted trace scatter-adds by pixel id — samples merge for free
+        # compacted trace scatter-adds by (true) pixel id — order-independent
         return trace_compacted(scene, lights, flat, key, opts, num_pixels=n)
     flat = trace(scene, lights, flat, key, opts)
-    return flat.radiance.reshape(spp, n, 3).sum(axis=0)
+    return untile(flat.radiance.reshape(spp, n, 3).sum(axis=0))
 
 
 def render_sample(scene: Scene, lights: Lights, cam: Camera, width: int,

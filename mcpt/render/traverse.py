@@ -317,11 +317,31 @@ def intersect_bvh(
     return _finish_hit(geom, origin, direction, state.t, state.tri)
 
 
+def resolve_method(scene, method: str = "auto") -> str:
+    """``auto`` → brute below 512 tris; the Pallas block-coherent cluster
+    kernel on TPU when the scene carries a ClusterBVH; the XLA batched-stack
+    walk otherwise (and on CPU hosts, where the cluster kernel would run under
+    the slow TPU interpreter — tests opt in with an explicit ``cluster``)."""
+    if method != "auto":
+        return method
+    if scene.geom.count <= 512:
+        return "brute"
+    if scene.clusters is not None and jax.default_backend() == "tpu":
+        return "cluster"
+    return "bvh"
+
+
 def intersect_scene(scene, origin, direction, active=None, method: str = "auto"):
-    """Dispatch: brute force below 512 tris (``auto``), else BVH.  The brute path
-    uses the precomputed Wald transforms when the scene carries them."""
-    if method == "auto":
-        method = "brute" if scene.geom.count <= 512 else "bvh"
+    """Dispatch per ``resolve_method``.  The brute path uses the precomputed
+    Wald transforms when the scene carries them."""
+    method = resolve_method(scene, method)
+    if method == "cluster":
+        from mcpt.pallas import traverse_kernel as tk
+
+        assert scene.clusters is not None, "scene has no ClusterBVH"
+        return tk.intersect_clusters(
+            scene.clusters, origin, direction, active=active
+        )
     if method == "brute":
         if scene.wald is not None:
             hit = intersect_wald(scene.wald, scene.geom, origin, direction)
@@ -339,8 +359,17 @@ def intersect_scene(scene, origin, direction, active=None, method: str = "auto")
 
 
 def occluded(scene, origin, direction, t_max, active=None, method: str = "auto"):
-    """Shadow-ray query: is there any hit with t < t_max?  (Used by NEE, which the
-    reference lacks.)  v1 uses closest-hit; a dedicated any-hit early-out kernel is
-    a later optimization."""
+    """Shadow-ray query: is there any hit with t < t_max?  (Used by NEE, which
+    the reference lacks.)  Clustered scenes use the dedicated any-hit kernel
+    (first-hit accept + occluded-lane pruning + whole-block early retirement);
+    the brute/XLA paths answer via closest-hit."""
+    method = resolve_method(scene, method)
+    if method == "cluster":
+        from mcpt.pallas import traverse_kernel as tk
+
+        return tk.occluded_clusters(
+            scene.clusters, origin, direction, t_max * (1.0 - 1e-3),
+            active=active,
+        )
     hit = intersect_scene(scene, origin, direction, active=active, method=method)
     return hit.t < t_max * (1.0 - 1e-3)

@@ -98,24 +98,48 @@ def build_scene(loaded: LoadedObject, bvhtype: str = "hlbvh"):
     ``bvhtype``: ``hlbvh`` (LBVH), ``treelet``/``treeletGPU`` (LBVH + treelet SAH
     restructuring — both map to the same device-side optimizer here).
     """
+    import jax
+
     from mcpt.bvh import lbvh as lbvh_mod
 
     geom, mats = loaded.to_device()
-    bvh = lbvh_mod.build_lbvh(geom.verts)
-    if bvhtype in ("treelet", "treeletGPU", "treelet_opt"):
-        from mcpt.bvh import treelet as treelet_mod
+    # Build-time work runs on the host CPU backend: the build is argsort +
+    # short scans over ~N elements, and on the tunnelled chip the many small
+    # readbacks are latency-bound (measured 123 s vs <2 s for a 108k-tri scene).
+    # The resulting arrays transfer to the accelerator on first render use.
+    cpu0 = jax.devices("cpu")[0]
+    with jax.default_device(cpu0):
+        bvh = lbvh_mod.build_lbvh(jnp.asarray(np.asarray(loaded.verts)))
+        if bvhtype in ("treelet", "treeletGPU", "treelet_opt"):
+            from mcpt.bvh import treelet as treelet_mod
 
-        bvh = treelet_mod.optimize_treelets(bvh)
-    elif bvhtype not in ("", "hlbvh", "lbvh"):
-        raise ValueError(f"unknown bvhtype {bvhtype!r}")
+            bvh = treelet_mod.optimize_treelets(bvh)
+        elif bvhtype not in ("", "hlbvh", "lbvh"):
+            raise ValueError(f"unknown bvhtype {bvhtype!r}")
+    # re-materialize UNCOMMITTED (default-device) — arrays committed to the CPU
+    # device would be re-transferred through the tunnel on every render call
+    bvh = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), bvh)
     lights = build_lights(loaded.verts, loaded.mat_id, loaded.mtype, loaded.ka)
     # scale-aware epsilon: 1e-4 of the scene diagonal (see types.Scene.eps)
     v = loaded.verts.reshape(-1, 3)
     diag = float(np.linalg.norm(v.max(axis=0) - v.min(axis=0)))
+    clusters = None
+    if geom.count > 512:
+        # past the brute cutoff the hot intersector is the Pallas
+        # block-coherent traversal over the clustered two-level BVH
+        from mcpt.bvh import cluster as cluster_mod
+
+        # Morton chunks beat the SAH-subtree cut on the boxfield benchmark
+        # (16.1 vs 14.1 Mrays/s: full 32-row fill wins over tighter boxes);
+        # pass bvh=bvh here to pick the subtree cut for irregular scenes.
+        clusters = cluster_mod.build_clusters(
+            loaded.verts, np.asarray(geom.normals), loaded.mat_id
+        )
     scene = Scene(
         geom=geom, materials=mats, bvh=bvh,
         eps=jnp.float32(max(1e-4 * diag, 1e-6)),
         wald=build_wald(loaded.verts),
+        clusters=clusters,
     )
     return scene, lights
 

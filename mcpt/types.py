@@ -115,6 +115,9 @@ class Scene(NamedTuple):
     # Precomputed Wald transforms for the matmul-shaped brute intersector
     # (built by mcpt.scene.build_scene; None only in hand-rolled test scenes).
     wald: "WaldTris | None" = None
+    # Clustered two-level BVH for the Pallas block-coherent traversal kernel
+    # (mcpt.bvh.cluster.ClusterBVH; built for scenes past the brute cutoff).
+    clusters: object = None
 
     @property
     def n_tris(self) -> int:
