@@ -110,15 +110,21 @@ def build_scene(loaded: LoadedObject, bvhtype: str = "hlbvh"):
     cpu0 = jax.devices("cpu")[0]
     with jax.default_device(cpu0):
         bvh = lbvh_mod.build_lbvh(jnp.asarray(np.asarray(loaded.verts)))
-        if bvhtype in ("treelet", "treeletGPU", "treelet_opt"):
+        if bvhtype in ("treelet", "treelet_opt"):
             from mcpt.bvh import treelet as treelet_mod
 
             bvh = treelet_mod.optimize_treelets(bvh)
-        elif bvhtype not in ("", "hlbvh", "lbvh"):
+        elif bvhtype not in ("", "hlbvh", "lbvh", "treeletGPU"):
             raise ValueError(f"unknown bvhtype {bvhtype!r}")
     # re-materialize UNCOMMITTED (default-device) — arrays committed to the CPU
     # device would be re-transferred through the tunnel on every render call
     bvh = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), bvh)
+    if bvhtype == "treeletGPU":
+        # accelerator-side batched treelet DP (mcpt.bvh.treelet_device) — runs
+        # on the default backend, i.e. the TPU when one is attached
+        from mcpt.bvh import treelet_device
+
+        bvh = treelet_device.optimize_treelets_device(bvh, verbose=True)
     lights = build_lights(loaded.verts, loaded.mat_id, loaded.mtype, loaded.ka)
     # scale-aware epsilon: 1e-4 of the scene diagonal (see types.Scene.eps)
     v = loaded.verts.reshape(-1, 3)
