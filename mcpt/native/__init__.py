@@ -52,6 +52,10 @@ def load() -> "ctypes.CDLL | None":
                                     c_float_p, c_int_p, c_int_p, c_int_p]
     lib.mcpt_treelet_optimize.argtypes = [ctypes.c_int, c_float_p, c_float_p,
                                           c_int_p, c_int_p, c_int_p]
+    lib.mcpt_epo.restype = ctypes.c_double
+    lib.mcpt_epo.argtypes = [c_float_p, ctypes.c_int, c_float_p, c_float_p,
+                             c_int_p, c_int_p, ctypes.c_double,
+                             ctypes.c_double, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -136,3 +140,23 @@ def treelet_optimize_native(bbmin, bbmax, left, right, parent):
     lib.mcpt_treelet_optimize(n, _fp(bbmin), _fp(bbmax), _ip(left), _ip(right),
                               _ip(parent))
     return bbmin, bbmax, left, right, parent
+
+
+def epo_native(verts, bbmin, bbmax, left, right, c_inn, c_tri,
+               n_threads: int | None = None) -> float:
+    """Native EPO walk (parallel over leaves); see mcpt_native.cpp."""
+    import os
+
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    v = np.ascontiguousarray(verts, np.float32).reshape(-1, 9)
+    bmn = np.ascontiguousarray(bbmin, np.float32)
+    bmx = np.ascontiguousarray(bbmax, np.float32)
+    lf = np.ascontiguousarray(left, np.int32)
+    rt = np.ascontiguousarray(right, np.int32)
+    if n_threads is None:
+        n_threads = min(16, os.cpu_count() or 1)
+    return float(lib.mcpt_epo(_fp(v), v.shape[0], _fp(bmn), _fp(bmx),
+                              _ip(lf), _ip(rt), float(c_inn), float(c_tri),
+                              int(n_threads)))

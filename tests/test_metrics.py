@@ -108,3 +108,23 @@ def test_treelet_same_hits():
         np.where(np.isfinite(h1.t), h1.t, 0),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_epo_native_matches_python():
+    """The parallel C++ EPO walk must agree with the numpy reference."""
+    import pytest
+
+    from mcpt import native
+    from mcpt.bvh import lbvh as lbvh_mod
+    from mcpt.bvh.metrics import epo
+    from mcpt.scenes import boxfield
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    import jax.numpy as jnp
+
+    loaded, _ = boxfield(200)
+    bvh = lbvh_mod.build_lbvh(jnp.asarray(loaded.verts))
+    e_py = epo(bvh, loaded.verts, use_native="never")
+    e_cc = epo(bvh, loaded.verts, use_native="always")
+    assert abs(e_py - e_cc) < 1e-6 * max(e_py, 1.0)

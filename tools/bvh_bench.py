@@ -37,7 +37,13 @@ def bench_model(loaded, bvhtype: str, camera_cfg, width: int, height: int):
     t_lbvh = time.time() - t0
     print(f"  LBVH build time: {t_lbvh*1e3:.2f} ms")
 
-    if bvhtype in ("treelet", "treeletGPU", "treelet_opt"):
+    if bvhtype == "treeletGPU":
+        # the accelerator-side batched optimizer (reference GPU path,
+        # treeletBVH.cl:230-531); prints its own build time
+        from mcpt.bvh import treelet_device
+
+        bvh = treelet_device.optimize_treelets_device(bvh, verbose=True)
+    elif bvhtype in ("treelet", "treelet_opt"):
         from mcpt.bvh import treelet
 
         t0 = time.time()
