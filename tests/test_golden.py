@@ -1,0 +1,61 @@
+"""Golden-image RMSE gates (the reference workflow's shipped-EXR comparison,
+``Scene/README.md:19``, made executable).
+
+The goldens (``tests/goldens/*.exr``) are 2048-spp renders produced by
+``tools/make_goldens.py`` through the Pallas megakernel ON the TPU; these
+tests re-render at low spp through the *wavefront* integrator on the CPU —
+so each gate is simultaneously a ground-truth RMSE check and a cross-engine
+consistency check (independent RNG, intersector, and code path).
+"""
+
+import dataclasses
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from mcpt import scenes
+from mcpt.io import image as im
+from mcpt.render import camera as cm
+from mcpt.render import integrator as integ
+from mcpt.render.integrator import RenderOptions
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from tools.compare import compare  # noqa: E402
+
+_GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _gate(name, w, h, spp, depth, tol, seed=5):
+    golden = im.read_exr_rgb(os.path.join(_GOLDEN_DIR, f"{name}.exr"))[::-1]
+    loaded, camcfg = getattr(scenes, name)()
+    camcfg = dataclasses.replace(camcfg, resolution=(w, h))
+    from mcpt.scene import build_scene
+
+    scene, lights = build_scene(loaded)
+    cam = cm.make_camera(camcfg)
+    opts = RenderOptions(max_depth=depth, nee=True, mis=True, method="auto")
+    fb = integ.render(scene, lights, cam, w, h, opts, spp=spp, seed=seed,
+                      spp_per_step=spp)
+    img = integ.framebuffer_image(fb, w, h)
+    stats = compare(np.asarray(img, np.float64), golden.astype(np.float64))
+    assert stats["rel_rmse"] < tol, (name, stats)
+    return stats
+
+
+def test_cbox_golden_gate():
+    # 16 spp MC noise on this scene measures ~0.11 rel-RMSE; gate at 2x
+    _gate("cornell_box", 128, 128, spp=16, depth=16, tol=0.22)
+
+
+def test_quad_light_golden_gate():
+    _gate("quad_light_plane", 128, 128, spp=8, depth=6, tol=0.25)
+
+
+@pytest.mark.slow
+def test_veach_golden_gate():
+    # glossy highlights dominate the variance: 32 spp measures ~0.21 rel-RMSE
+    # (means agree to 1.3%); gate leaves ~1.4x headroom
+    _gate("veach_mis", 192, 128, spp=32, depth=8, tol=0.30)

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Render the committed golden images (the framework's own 2048-spp ground
+truths, mirroring the course's shipped EXRs, ``Scene/README.md:19``).
+
+Run on a TPU chip (minutes); outputs land in ``tests/goldens/`` and are
+committed so CI can gate low-spp renders against them (``tests/test_golden.py``)
+without touching an accelerator.  Small resolutions keep the repo light; the
+estimator (NEE+MIS) and per-scene geometry are identical to what the tests
+re-render.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GOLDENS = [
+    # (scene builder name, width, height, spp, max_depth, nee, mis)
+    ("cornell_box", 128, 128, 2048, 16, True, True),
+    ("veach_mis", 192, 128, 2048, 8, True, True),
+    ("quad_light_plane", 128, 128, 2048, 6, True, True),
+]
+
+
+def main() -> int:
+    import jax
+
+    from mcpt import runtime, scenes
+    from mcpt.io import image as im
+    from mcpt.pallas import megakernel as mk
+    from mcpt.render import camera as camera_mod
+    from mcpt.scene import build_scene
+
+    runtime.enable_compile_cache()
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "goldens")
+    os.makedirs(out_dir, exist_ok=True)
+
+    for name, w, h, spp, depth, nee, mis in GOLDENS:
+        loaded, camcfg = getattr(scenes, name)()
+        camcfg = dataclasses.replace(camcfg, resolution=(w, h))
+        scene, lights = build_scene(loaded)
+        cam = camera_mod.make_camera(camcfg)
+        mega = mk.build_megascene(scene, lights)
+        t0 = time.time()
+        total = None
+        step = 256
+        for s0 in range(0, spp, step):
+            rad, _ = mk.render_mega(
+                mega, cam, w, h, spp=min(step, spp - s0), seed=1000 + s0,
+                max_depth=depth, nee=nee, mis=mis,
+            )
+            total = rad if total is None else total + rad
+        import numpy as np
+
+        img = (np.asarray(total) / spp).reshape(h, w, 3)
+        path = os.path.join(out_dir, f"{name}.exr")
+        im.write_exr(path, img[::-1])
+        print(f"{name}: {w}x{h} @ {spp} spp in {time.time()-t0:.1f}s "
+              f"mean {img.mean():.4f} -> {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
