@@ -186,37 +186,46 @@ def render_mega_sharded(
     rr: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Sharded megakernel render: every device runs the fused Pallas kernel on
-    the full image at ``spp / n_devices`` samples with a device-unique seed;
-    radiance sums ``psum`` over the whole mesh (sample-axis data parallelism —
-    scene tables are VMEM-resident per chip, so replication is free).
+    """Sharded megakernel render over BOTH mesh axes: each ``pixels`` shard
+    renders only its contiguous pixel slice (true spatial sharding — the
+    kernel's ``pixel_base`` hook), each ``samples`` shard renders
+    ``spp / |samples|`` of the samples with a device-unique seed, and the
+    only collective is the radiance ``psum`` over the samples axis (scene
+    tables are VMEM-resident per chip, so replication is free).
 
-    Returns the (W·H, 3) radiance sum over all ``spp`` samples, replicated.
+    Returns the (W·H, 3) radiance sum over all ``spp`` samples, laid out
+    sharded over the ``pixels`` axis.
     """
     from mcpt.pallas import megakernel as mk
 
-    n_dev = mesh.devices.size
-    assert spp % n_dev == 0, (spp, n_dev)
-    spp_local = spp // n_dev
+    d_s = mesh.shape["samples"]
+    d_p = mesh.shape["pixels"]
+    assert spp % d_s == 0, (spp, d_s)
+    spp_local = spp // d_s
+    n = width * height
+    n_pad = _pad_to(n, d_p)
+    local_n = n_pad // d_p
 
     def step(tri, matt, lit, cam_):
         mega_local = mega._replace(tri=tri, matt=matt, lit=lit)
         si = jax.lax.axis_index("samples")
         pi = jax.lax.axis_index("pixels")
-        dev_seed = seed + (si * mesh.shape["pixels"] + pi) * 65537 + 1
+        dev_seed = seed + si * 65537 + 1  # pixel shards share the sample seed
         rad, _segs = mk.render_mega(
             mega_local, cam_, width, height, spp=spp_local, seed=dev_seed,
             max_depth=max_depth, nee=nee, mis=mis, rr=rr, interpret=interpret,
+            pixel_base=pi * local_n, pixel_count=local_n,
         )
-        rad = jax.lax.psum(rad, axis_name="samples")
-        return jax.lax.psum(rad, axis_name="pixels")
+        # DP reduction over samples; pixels need no collective (disjoint)
+        return jax.lax.psum(rad, axis_name="samples")
 
-    return jax.jit(
+    out = jax.jit(
         shard_map(
             step,
             mesh=mesh,
             in_specs=(P(), P(), P(), P()),
-            out_specs=P(),
+            out_specs=P("pixels"),
             check_vma=False,
         )
     )(mega.tri, mega.matt, mega.lit, cam)
+    return out[:n]

@@ -143,8 +143,12 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
     """One block of BLK rays, full path trace.
 
     si_ref (SMEM i32): 0 width, 1 height, 2 n_tris, 3 max_depth, 4 seed,
-                       5 rr_enabled, 6 rr_start_depth, 7 n_pixels, 8 n_mats,
-                       9 n_lights
+                       5 rr_enabled, 6 rr_start_depth, 7 n_pixels (this
+                       shard's slice length), 8 n_mats, 9 n_lights,
+                       10 pixel_base (first pixel id of the slice — 0 and
+                       W·H single-chip; a mesh pixel shard passes its own),
+                       11 total pixels (W·H — makes the per-lane RNG counter
+                       globally unique across pixel shards)
     sf_ref (SMEM f32): 0:3 cam pos, 3:6 fwd, 6:9 right, 9:12 up,
                        12 half_w, 13 half_h, 14 eps, 15 t_min,
                        16 total light area
@@ -173,9 +177,12 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
     row = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
     ray_idx = blk * BLK + row * 128 + col
-    pixel = jax.lax.rem(ray_idx, n_pixels)
+    pixel = si_ref[10] + jax.lax.rem(ray_idx, n_pixels)
     pxi = jax.lax.rem(pixel, width)
     pyi = jax.lax.div(pixel, width)
+    # RNG counter: globally unique (sample, pixel) id — equal to ray_idx
+    # single-chip, disjoint across mesh pixel shards
+    ray_idx = jax.lax.div(ray_idx, n_pixels) * si_ref[11] + pixel
 
     # --- camera ray generation (rayGenerator.cl:13-21 pinhole math) ---
     fx = pxi.astype(jnp.float32) + _u01(seed, jnp.int32(1), ray_idx)
@@ -698,17 +705,23 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
                 spp: int, seed, max_depth: int = 16, rr: bool = False,
                 rr_start: int = 3, nee: bool = False, mis: bool = False,
                 clamp: float = 0.0, t_min: float = 1e-4,
-                interpret: bool = False):
-    """Render spp samples of the full image → ((W·H, 3) radiance sum, segments).
+                interpret: bool = False, pixel_base=0,
+                pixel_count: int | None = None):
+    """Render spp samples → ((pixel_count, 3) radiance sum, segments).
 
-    The ray pool is spp·W·H rays in blocks of BLK; sample s of pixel p is ray
-    ``s·W·H + p`` (positional — radiance is summed over the sample axis on the
-    way out)."""
+    The ray pool is spp·pixel_count rays in blocks of BLK; sample s of slice
+    pixel p is ray ``s·pixel_count + p`` (positional — radiance is summed over
+    the sample axis on the way out).  ``pixel_base``/``pixel_count`` select a
+    contiguous pixel slice (defaults: the whole image) — the spatial-sharding
+    hook for ``mcpt.dist.render_mega_sharded`` (pixel_base may be traced,
+    e.g. a mesh axis index)."""
+    if pixel_count is None:
+        pixel_count = width * height
     return _render_mega_jit(
         mega.tri, mega.matt, mega.lit, cam, width, height, spp, seed,
         max_depth, rr, rr_start, nee and mega.n_lights > 0, mis, clamp, t_min,
         interpret, mega.n_tris, mega.n_mats, mega.n_lights, mega.eps,
-        mega.total_light_area,
+        mega.total_light_area, pixel_base, pixel_count,
     )
 
 
@@ -716,21 +729,24 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "rr", "rr_start",
                      "nee", "mis", "clamp", "t_min", "interpret", "n_tris",
-                     "n_mats", "n_lights", "eps", "total_light_area"),
+                     "n_mats", "n_lights", "eps", "total_light_area",
+                     "pixel_count"),
 )
 def _render_mega_jit(tri, matt, lit, cam, width, height, spp, seed, max_depth,
                      rr, rr_start, nee, mis, clamp, t_min, interpret, n_tris,
-                     n_mats, n_lights, eps, total_light_area):
-    n_pixels = width * height
+                     n_mats, n_lights, eps, total_light_area, pixel_base,
+                     pixel_count):
+    n_pixels = pixel_count
     n_rays = n_pixels * spp
     n_blocks = (n_rays + BLK - 1) // BLK
 
     si = jnp.array(
         [width, height, n_tris, max_depth, 0, int(rr), rr_start, n_pixels,
-         n_mats, n_lights],
+         n_mats, n_lights, 0, width * height],
         jnp.int32,
     )
     si = si.at[4].set(jnp.asarray(seed, jnp.int32))
+    si = si.at[10].set(jnp.asarray(pixel_base, jnp.int32))
     sf = jnp.concatenate(
         [
             cam.position.reshape(3),
