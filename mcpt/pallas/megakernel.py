@@ -127,20 +127,34 @@ UNROLL_MAX_TRIS = 128
 
 
 def _make_render_kernel(static_tris: int | None, static_mats: int | None,
-                        use_nee: bool, use_mis: bool, static_lights: int):
+                        use_nee: bool, use_mis: bool, static_lights: int,
+                        regen: bool):
     def kernel(si_ref, sf_ref, tri_ref, matt_ref, lit_ref, r_ref, g_ref,
                b_ref, seg_ref):
         return _render_body(static_tris, static_mats, use_nee, use_mis,
-                            static_lights, si_ref, sf_ref, tri_ref, matt_ref,
-                            lit_ref, r_ref, g_ref, b_ref, seg_ref)
+                            static_lights, regen, si_ref, sf_ref, tri_ref,
+                            matt_ref, lit_ref, r_ref, g_ref, b_ref, seg_ref)
 
     return kernel
 
 
 def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
-                 si_ref, sf_ref, tri_ref, matt_ref, lit_ref, r_ref, g_ref,
-                 b_ref, seg_ref):
+                 regen, si_ref, sf_ref, tri_ref, matt_ref, lit_ref, r_ref,
+                 g_ref, b_ref, seg_ref):
     """One block of BLK rays, full path trace.
+
+    ``regen=False`` (batch schedule): one lane per (sample, pixel); a lane
+    whose path terminates idles until its whole block retires — average live
+    occupancy over a depth-16 cbox run is ~41%.
+
+    ``regen=True`` (path regeneration): one lane per *pixel*; the moment a
+    lane's path terminates it generates the NEXT sample's camera ray in place
+    (per-lane depth + sample counters), so lanes stay ~fully occupied until
+    the block's final samples drain.  This is the TPU megakernel answer to
+    the dead-lane waste the reference sidesteps with per-work-item early
+    return (``intersect.cl:16-18``) — no repack pass, no atomics: a lane's
+    pixel never changes, so its radiance accumulator is already the per-pixel
+    sample sum the host wants.
 
     si_ref (SMEM i32): 0 width, 1 height, 2 n_tris, 3 max_depth, 4 seed,
                        5 rr_enabled, 6 rr_start_depth, 7 n_pixels (this
@@ -148,7 +162,8 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
                        10 pixel_base (first pixel id of the slice — 0 and
                        W·H single-chip; a mesh pixel shard passes its own),
                        11 total pixels (W·H — makes the per-lane RNG counter
-                       globally unique across pixel shards)
+                       globally unique across pixel shards),
+                       12 spp (samples per lane; used when regen)
     sf_ref (SMEM f32): 0:3 cam pos, 3:6 fwd, 6:9 right, 9:12 up,
                        12 half_w, 13 half_h, 14 eps, 15 t_min,
                        16 total light area
@@ -184,37 +199,50 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
     # single-chip, disjoint across mesh pixel shards
     ray_idx = jax.lax.div(ray_idx, n_pixels) * si_ref[11] + pixel
 
-    # --- camera ray generation (rayGenerator.cl:13-21 pinhole math) ---
-    fx = pxi.astype(jnp.float32) + _u01(seed, jnp.int32(1), ray_idx)
-    fy = pyi.astype(jnp.float32) + _u01(seed, jnp.int32(2), ray_idx)
-    w_f = width.astype(jnp.float32)
-    h_f = si_ref[1].astype(jnp.float32)
-    sx = fx / w_f - 0.5
-    sy = fy / h_f - 0.5
-    half_w = sf_ref[12]
-    half_h = sf_ref[13]
-    # pinhole vs orthographic blend (rayGenerator.cl:13-27; sf[17] = is_ortho)
-    w_ort = sf_ref[17]
-    offx = 2.0 * sx * half_w * sf_ref[6] + 2.0 * sy * half_h * sf_ref[9]
-    offy = 2.0 * sx * half_w * sf_ref[7] + 2.0 * sy * half_h * sf_ref[10]
-    offz = 2.0 * sx * half_w * sf_ref[8] + 2.0 * sy * half_h * sf_ref[11]
-    dx = sf_ref[3] + (1.0 - w_ort) * offx
-    dy = sf_ref[4] + (1.0 - w_ort) * offy
-    dz = sf_ref[5] + (1.0 - w_ort) * offz
-    dx, dy, dz = _normalize3(dx, dy, dz)
     # iota-derived zeros: forces a standard (non-replicated) vector layout on
     # every loop-carry init — broadcast-constant inits trip a Mosaic relayout
     # bug ("non-singleton dimension replicated in destination") in this kernel
     zeros = (row + col).astype(jnp.float32) * 0.0
-    ox = zeros + sf_ref[0] + w_ort * offx
-    oy = zeros + sf_ref[1] + w_ort * offy
-    oz = zeros + sf_ref[2] + w_ort * offz
+
+    w_f = width.astype(jnp.float32)
+    h_f = si_ref[1].astype(jnp.float32)
+    half_w = sf_ref[12]
+    half_h = sf_ref[13]
+    # pinhole vs orthographic blend (rayGenerator.cl:13-27; sf[17] = is_ortho)
+    w_ort = sf_ref[17]
+
+    def cam_ray(idx2):
+        """Camera ray for this lane's pixel, RNG stream ``idx2``
+        (rayGenerator.cl:13-27 pinhole/ortho math, jittered)."""
+        fx = pxi.astype(jnp.float32) + _u01(seed, jnp.int32(1), idx2)
+        fy = pyi.astype(jnp.float32) + _u01(seed, jnp.int32(2), idx2)
+        sx = fx / w_f - 0.5
+        sy = fy / h_f - 0.5
+        offx = 2.0 * sx * half_w * sf_ref[6] + 2.0 * sy * half_h * sf_ref[9]
+        offy = 2.0 * sx * half_w * sf_ref[7] + 2.0 * sy * half_h * sf_ref[10]
+        offz = 2.0 * sx * half_w * sf_ref[8] + 2.0 * sy * half_h * sf_ref[11]
+        cdx = sf_ref[3] + (1.0 - w_ort) * offx
+        cdy = sf_ref[4] + (1.0 - w_ort) * offy
+        cdz = sf_ref[5] + (1.0 - w_ort) * offz
+        cdx, cdy, cdz = _normalize3(cdx, cdy, cdz)
+        cox = zeros + sf_ref[0] + w_ort * offx
+        coy = zeros + sf_ref[1] + w_ort * offy
+        coz = zeros + sf_ref[2] + w_ort * offz
+        return cox, coy, coz, cdx, cdy, cdz
+
+    # --- sample-0 camera rays ---
+    ox, oy, oz, dx, dy, dz = cam_ray(ray_idx)
 
     eps = sf_ref[14]
     t_min = sf_ref[15]
+    max_depth_f = max_depth.astype(jnp.float32)
+    spp_s = si_ref[12]
+    spp_f = spp_s.astype(jnp.float32)
+    rr_en = (si_ref[5] > 0).astype(jnp.float32)
+    rr_start_f = si_ref[6].astype(jnp.float32)
 
     state = (
-        jnp.int32(0),  # depth
+        jnp.int32(0),  # iteration counter (== depth when not regen)
         ox, oy, oz, dx, dy, dz,
         zeros + 1.0, zeros + 1.0, zeros + 1.0,  # throughput
         zeros, zeros, zeros,  # radiance
@@ -224,14 +252,30 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
         zeros,  # prev_sc: previous bounce sampled a reflective BSDF (f32)
         zeros,  # prev_pdf: that sample's solid-angle pdf (for MIS)
     )
+    if regen:
+        state = state + (
+            zeros,  # per-lane path depth
+            zeros,  # per-lane completed-sample count
+        )
 
-    def cond(s):
-        depth, alive = s[0], s[13]
-        return (depth < max_depth) & jnp.any(alive > 0.0)
+    if regen:
+        def cond(s):
+            it, done_s = s[0], s[19]
+            return (it < spp_s * max_depth) & jnp.any(done_s < spp_f - 0.5)
+    else:
+        def cond(s):
+            depth, alive = s[0], s[13]
+            return (depth < max_depth) & jnp.any(alive > 0.0)
 
     def bounce(s):
-        (depth, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive,
-         inside, segs, prev_sc, prev_pdf) = s
+        if regen:
+            (it, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive,
+             inside, segs, prev_sc, prev_pdf, depth_v, done_s) = s
+            depth = it  # scalar iteration index (RNG salt only when not regen)
+            alive_in = alive
+        else:
+            (depth, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive,
+             inside, segs, prev_sc, prev_pdf) = s
 
         # ---- intersect: closest hit over all triangles (Wald transforms) ----
         def tri_body(t, acc):
@@ -376,11 +420,17 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
         rg = rg + jnp.minimum(lmask * tg * kay, clampv)
         rb = rb + jnp.minimum(lmask * tb * kaz, clampv)
 
-        salt0 = 8 * depth + 3
-        u1 = _u01(seed, salt0, ray_idx)
-        u2 = _u01(seed, salt0 + 1, ray_idx)
-        u3 = _u01(seed, salt0 + 2, ray_idx)
-        u4 = _u01(seed, salt0 + 3, ray_idx)
+        if regen:
+            # per-lane RNG coordinates: the lane's current (sample, depth)
+            salt0 = 8 * depth_v.astype(jnp.int32) + 3
+            pidx = done_s.astype(jnp.int32) * si_ref[11] + pixel
+        else:
+            salt0 = 8 * depth + 3
+            pidx = ray_idx
+        u1 = _u01(seed, salt0, pidx)
+        u2 = _u01(seed, salt0 + 1, pidx)
+        u3 = _u01(seed, salt0 + 2, pidx)
+        u4 = _u01(seed, salt0 + 3, pidx)
 
         # ---- diffuse / glossy: cosine or phong-lobe sample ----
         (t1x, t1y, t1z), (t2x, t2y, t2z) = _onb(nx, ny, nz)
@@ -436,9 +486,9 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
             # ---- next-event estimation: sample the light area, cast a shadow
             # ray, add the MIS-weighted direct contribution (the reference has
             # no NEE; this is the north-star upgrade, SURVEY §7) ----
-            ul = _u01(seed, salt0 + 5, ray_idx)
-            ua = _u01(seed, salt0 + 6, ray_idx)
-            ub = _u01(seed, salt0 + 7, ray_idx)
+            ul = _u01(seed, salt0 + 5, pidx)
+            ua = _u01(seed, salt0 + 6, pidx)
+            ub = _u01(seed, salt0 + 7, pidx)
             # area-proportional light pick via the CDF
             if unroll_lights:
                 lsel = [zeros for _ in range(15)]
@@ -600,12 +650,19 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
         alive = alive * jnp.where(dead, 0.0, 1.0)
         # scalar predicates as f32 arithmetic (scalar-pred vector selects hit a
         # Mosaic relayout bug: "non-singleton dimension replicated in dest")
-        depth_ok = (depth + 1 < max_depth).astype(jnp.float32)
+        if regen:
+            depth_ok = jnp.where(depth_v + 1.0 < max_depth_f, 1.0, 0.0)
+        else:
+            depth_ok = (depth + 1 < max_depth).astype(jnp.float32)
         alive = alive * depth_ok
 
         # ---- Russian roulette (optional; unbiased) ----
-        rr_on = ((si_ref[5] > 0) & (depth >= si_ref[6])).astype(jnp.float32)
-        u5 = _u01(seed, salt0 + 4, ray_idx)
+        if regen:
+            rr_on = rr_en * jnp.where(depth_v >= rr_start_f, 1.0, 0.0)
+        else:
+            rr_on = ((si_ref[5] > 0) & (depth >= si_ref[6])).astype(
+                jnp.float32)
+        u5 = _u01(seed, salt0 + 4, pidx)
         p_srv = jnp.clip(jnp.maximum(tr, jnp.maximum(tg, tb)), 0.05, 1.0)
         p_srv = p_srv * rr_on + (1.0 - rr_on)
         alive = alive * jnp.where(u5 < p_srv, 1.0, 0.0)
@@ -617,10 +674,37 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
         prev_sc = (is_diff | is_glos).astype(jnp.float32)
         prev_pdf = jnp.where(is_glos, pdf_mix, pdf_d)
 
-        return (depth + 1, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-                alive, inside, segs, prev_sc, prev_pdf)
+        if not regen:
+            return (depth + 1, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+                    alive, inside, segs, prev_sc, prev_pdf)
 
-    if _BOUNCE_LOOP == "while":
+        # ---- path regeneration: a terminated lane starts its pixel's next
+        # sample immediately (new camera ray, reset path state) ----
+        died = alive_in - alive  # 1.0 where this iteration completed a path
+        done_s = done_s + died
+        reg = died * jnp.where(done_s < spp_f - 0.5, 1.0, 0.0)
+        pick = reg > 0.5
+        idx_new = done_s.astype(jnp.int32) * si_ref[11] + pixel
+        cox, coy, coz, cdx, cdy, cdz = cam_ray(idx_new)
+        ox = jnp.where(pick, cox, ox)
+        oy = jnp.where(pick, coy, oy)
+        oz = jnp.where(pick, coz, oz)
+        dx = jnp.where(pick, cdx, dx)
+        dy = jnp.where(pick, cdy, dy)
+        dz = jnp.where(pick, cdz, dz)
+        tr = jnp.where(pick, 1.0, tr)
+        tg = jnp.where(pick, 1.0, tg)
+        tb = jnp.where(pick, 1.0, tb)
+        inside = inside * (1.0 - reg)
+        prev_sc = prev_sc * (1.0 - reg)
+        prev_pdf = prev_pdf * (1.0 - reg)
+        depth_v = jnp.where(pick, 0.0, depth_v + 1.0)
+        alive = alive + reg
+
+        return (it + 1, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+                alive, inside, segs, prev_sc, prev_pdf, depth_v, done_s)
+
+    if _BOUNCE_LOOP == "while" or regen:  # regen is inherently data-dependent
         final = jax.lax.while_loop(cond, bounce, state)
     else:
         final = jax.lax.fori_loop(0, max_depth, lambda i, s: bounce(s), state)
@@ -706,22 +790,32 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
                 rr_start: int = 3, nee: bool = False, mis: bool = False,
                 clamp: float = 0.0, t_min: float = 1e-4,
                 interpret: bool = False, pixel_base=0,
-                pixel_count: int | None = None):
+                pixel_count: int | None = None,
+                schedule: str = "auto"):
     """Render spp samples → ((pixel_count, 3) radiance sum, segments).
 
-    The ray pool is spp·pixel_count rays in blocks of BLK; sample s of slice
-    pixel p is ray ``s·pixel_count + p`` (positional — radiance is summed over
-    the sample axis on the way out).  ``pixel_base``/``pixel_count`` select a
-    contiguous pixel slice (defaults: the whole image) — the spatial-sharding
-    hook for ``mcpt.dist.render_mega_sharded`` (pixel_base may be traced,
-    e.g. a mesh axis index)."""
+    ``schedule`` picks the lane scheduling: ``"regen"`` — one lane per pixel,
+    in-kernel path regeneration through all spp samples (high occupancy, the
+    default for spp > 1); ``"batch"`` — one lane per (sample, pixel), whole
+    blocks retire early (reference-like, spp == 1 or A/B baselines);
+    ``"auto"`` — regen when spp > 1.  Both schedules compute the same
+    estimator (different RNG stream assignment only).
+
+    ``pixel_base``/``pixel_count`` select a contiguous pixel slice (defaults:
+    the whole image) — the spatial-sharding hook for
+    ``mcpt.dist.render_mega_sharded`` (pixel_base may be traced, e.g. a mesh
+    axis index)."""
     if pixel_count is None:
         pixel_count = width * height
+    if schedule == "auto":
+        schedule = "regen" if spp > 1 else "batch"
+    assert schedule in ("regen", "batch"), schedule
     return _render_mega_jit(
         mega.tri, mega.matt, mega.lit, cam, width, height, spp, seed,
         max_depth, rr, rr_start, nee and mega.n_lights > 0, mis, clamp, t_min,
         interpret, mega.n_tris, mega.n_mats, mega.n_lights, mega.eps,
         mega.total_light_area, pixel_base, pixel_count,
+        schedule == "regen",
     )
 
 
@@ -730,19 +824,19 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
     static_argnames=("width", "height", "spp", "max_depth", "rr", "rr_start",
                      "nee", "mis", "clamp", "t_min", "interpret", "n_tris",
                      "n_mats", "n_lights", "eps", "total_light_area",
-                     "pixel_count"),
+                     "pixel_count", "regen"),
 )
 def _render_mega_jit(tri, matt, lit, cam, width, height, spp, seed, max_depth,
                      rr, rr_start, nee, mis, clamp, t_min, interpret, n_tris,
                      n_mats, n_lights, eps, total_light_area, pixel_base,
-                     pixel_count):
+                     pixel_count, regen=False):
     n_pixels = pixel_count
-    n_rays = n_pixels * spp
+    n_rays = n_pixels if regen else n_pixels * spp
     n_blocks = (n_rays + BLK - 1) // BLK
 
     si = jnp.array(
         [width, height, n_tris, max_depth, 0, int(rr), rr_start, n_pixels,
-         n_mats, n_lights, 0, width * height],
+         n_mats, n_lights, 0, width * height, spp],
         jnp.int32,
     )
     si = si.at[4].set(jnp.asarray(seed, jnp.int32))
@@ -779,7 +873,8 @@ def _render_mega_jit(tri, matt, lit, cam, width, height, spp, seed, max_depth,
     static_tris = n_tris if n_tris <= UNROLL_MAX_TRIS else None
     static_mats = n_mats if n_mats <= 64 else None
     r, g, b, segs = pl.pallas_call(
-        _make_render_kernel(static_tris, static_mats, nee, mis, n_lights),
+        _make_render_kernel(static_tris, static_mats, nee, mis, n_lights,
+                            regen),
         grid=grid,
         out_shape=out_shape,
         in_specs=[
@@ -798,6 +893,9 @@ def _render_mega_jit(tri, matt, lit, cam, width, height, spp, seed, max_depth,
         [r.reshape(-1)[:n_rays], g.reshape(-1)[:n_rays], b.reshape(-1)[:n_rays]],
         axis=-1,
     )
-    radiance = rad.reshape(spp, n_pixels, 3).sum(axis=0)
+    if regen:
+        radiance = rad  # each lane already accumulated all spp samples
+    else:
+        radiance = rad.reshape(spp, n_pixels, 3).sum(axis=0)
     segments = jnp.sum(segs.reshape(-1)[:n_rays])
     return radiance, segments

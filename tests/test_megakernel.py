@@ -79,6 +79,30 @@ def test_megakernel_nee_matches_wavefront():
 
 
 @pytest.mark.slow
+def test_regen_schedule_matches_batch():
+    """Path regeneration (one lane per pixel, in-kernel next-sample restart)
+    is bit-identical to the batch schedule: the per-(sample, pixel) RNG
+    stream assignment coincides, so only the lane scheduling differs."""
+    loaded, camcfg = cornell_box()
+    scene, lights = build_scene(loaded)
+    res = 20
+    camcfg = dataclasses.replace(camcfg, resolution=(res, res))
+    cam = cm.make_camera(camcfg)
+    mega = mk.build_megascene(scene, lights)
+    kw = dict(spp=12, seed=5, max_depth=5, interpret=True)
+    r_b, s_b = mk.render_mega(mega, cam, res, res, schedule="batch", **kw)
+    r_r, s_r = mk.render_mega(mega, cam, res, res, schedule="regen", **kw)
+    np.testing.assert_array_equal(np.asarray(r_b), np.asarray(r_r))
+    assert float(s_b) == float(s_r)
+    # and with NEE+MIS+RR (per-lane depth drives salts, MIS state, roulette)
+    kw2 = dict(spp=8, seed=2, max_depth=5, nee=True, mis=True, rr=True,
+               rr_start=2, interpret=True)
+    n_b, _ = mk.render_mega(mega, cam, res, res, schedule="batch", **kw2)
+    n_r, _ = mk.render_mega(mega, cam, res, res, schedule="regen", **kw2)
+    np.testing.assert_array_equal(np.asarray(n_b), np.asarray(n_r))
+
+
+@pytest.mark.slow
 def test_megakernel_furnace():
     loaded, camcfg = furnace_sphere(albedo=0.5, emission=1.0, subdiv=1)
     scene, lights = build_scene(loaded)
