@@ -91,7 +91,7 @@ def _bench_boxfield(n_batches: int = 5) -> dict:
     camcfg = dataclasses.replace(camcfg, resolution=(width, height))
     scene, lights = build_scene(loaded)
     cam = camera_mod.make_camera(camcfg)
-    opts = RenderOptions(max_depth=max_depth, method="auto")
+    opts = RenderOptions(max_depth=max_depth, method="auto", resort=True)
 
     import functools
 

@@ -53,6 +53,16 @@ class RenderOptions(NamedTuple):
     # the pool entering bounce d+1); None disables.  Static → one compile per
     # schedule.  Use ``measure_schedule`` to derive one from a pilot render.
     compact: tuple | None = None
+    # Inter-bounce ray re-sorting for the block-coherent cluster traversal:
+    # after each bounce the pool is sorted by (origin Morton code, direction
+    # octant) with dead rays keyed last, via ONE multi-operand lax.sort (TPU
+    # gathers/scatters of ray-pool permutations are pathologically slow; a
+    # payload-carrying sort is ~6× cheaper than argsort+gather on this
+    # backend).  Restores traversal-block coherence for scattered bounce rays
+    # AND retires fully-dead trailing blocks after a single root test.  The
+    # original ray order is restored once after the loop (sort by carried
+    # index).  Pays on the cluster/BVH path; pointless for brute-force scenes.
+    resort: bool = False
 
 
 def _nee_contribution(scene: Scene, lights: Lights, res: shade_mod.ShadeResult,
@@ -109,6 +119,55 @@ class _LoopState(NamedTuple):
     prev_scatter: jnp.ndarray  # (R,) — previous bounce sampled a non-delta BSDF
     prev_pdf: jnp.ndarray  # (R,) — its solid-angle pdf (for MIS at light hits)
     segments: jnp.ndarray  # () f32 — live ray segments traced (incl. shadow rays)
+    orig_idx: jnp.ndarray  # (R,) i32 — original pool slot (identity unless resort)
+
+
+def _sort_key(pool: RayPool, bb_lo, inv_ext):
+    """Ray coherence key: coarse origin cell (15-bit Morton, 32³ grid) major,
+    direction octant next, fine origin Morton last — rays sharing a traversal
+    block then walk near-identical node sets (same neighbourhood, same
+    descent order).  30 bits total, always positive."""
+    from mcpt.bvh import lbvh
+
+    u = jnp.clip((pool.origin - bb_lo) * inv_ext, 0.0, 0.999999)
+    m = lbvh.morton30(u)
+    octant = (
+        (pool.direction[:, 0] > 0).astype(jnp.int32)
+        + 2 * (pool.direction[:, 1] > 0).astype(jnp.int32)
+        + 4 * (pool.direction[:, 2] > 0).astype(jnp.int32)
+    )
+    return ((m >> 15) << 15) | (octant << 12) | ((m >> 3) & 0xFFF)
+
+
+def _resort_pool(pool: RayPool, prev_scatter, prev_pdf, orig_idx,
+                 bb_lo, inv_ext):
+    """Sort the pool by ``_sort_key`` with dead rays keyed to the end.  One
+    multi-operand ``lax.sort`` moves the whole ray state with the keys — no
+    permutation gather (pathologically slow on TPU)."""
+    key = _sort_key(pool, bb_lo, inv_ext)
+    key = jnp.where(pool.alive, key, jnp.int32(0x7FFFFFFF))
+    ops = jax.lax.sort(
+        (
+            key,
+            pool.origin[:, 0], pool.origin[:, 1], pool.origin[:, 2],
+            pool.direction[:, 0], pool.direction[:, 1], pool.direction[:, 2],
+            pool.throughput[:, 0], pool.throughput[:, 1], pool.throughput[:, 2],
+            pool.radiance[:, 0], pool.radiance[:, 1], pool.radiance[:, 2],
+            pool.pixel, pool.alive, pool.inside,
+            prev_scatter, prev_pdf, orig_idx,
+        ),
+        num_keys=1,
+    )
+    new_pool = RayPool(
+        origin=jnp.stack(ops[1:4], axis=-1),
+        direction=jnp.stack(ops[4:7], axis=-1),
+        throughput=jnp.stack(ops[7:10], axis=-1),
+        radiance=jnp.stack(ops[10:13], axis=-1),
+        pixel=ops[13],
+        alive=ops[14],
+        inside=ops[15],
+    )
+    return new_pool, ops[16], ops[17], ops[18]
 
 
 def trace(scene: Scene, lights: Lights, pool: RayPool, key: jax.Array,
@@ -120,6 +179,12 @@ def trace(scene: Scene, lights: Lights, pool: RayPool, key: jax.Array,
     numerator for a Mrays/s metric."""
     r = pool.count
     use_nee = opts.nee and lights.count > 0
+    if opts.resort:
+        # scene bounds for the Morton sort keys (one tiny reduction per trace)
+        v = scene.geom.verts.reshape(-1, 3)
+        bb_lo = jnp.min(v, axis=0)
+        ext = jnp.max(v, axis=0) - bb_lo
+        inv_ext = 1.0 / jnp.maximum(ext, 1e-12)
 
     def body(state: _LoopState) -> _LoopState:
         pool = state.pool
@@ -171,12 +236,18 @@ def trace(scene: Scene, lights: Lights, pool: RayPool, key: jax.Array,
             )
             segments = segments + jnp.sum(res.scatter.astype(jnp.float32))
 
+        prev_scatter, prev_pdf, orig_idx = res.scatter, res.bsdf_pdf, state.orig_idx
+        if opts.resort:
+            new_pool, prev_scatter, prev_pdf, orig_idx = _resort_pool(
+                new_pool, prev_scatter, prev_pdf, orig_idx, bb_lo, inv_ext
+            )
         return _LoopState(
             depth=state.depth + 1,
             pool=new_pool,
-            prev_scatter=res.scatter,
-            prev_pdf=res.bsdf_pdf,
+            prev_scatter=prev_scatter,
+            prev_pdf=prev_pdf,
             segments=segments,
+            orig_idx=orig_idx,
         )
 
     def cond(state: _LoopState):
@@ -188,6 +259,7 @@ def trace(scene: Scene, lights: Lights, pool: RayPool, key: jax.Array,
         prev_scatter=jnp.zeros((r,), bool),
         prev_pdf=jnp.zeros((r,), jnp.float32),
         segments=jnp.float32(0.0),
+        orig_idx=jnp.arange(r, dtype=jnp.int32),
     )
     if opts.loop == "while":
         final = jax.lax.while_loop(cond, body, init)
@@ -199,9 +271,22 @@ def trace(scene: Scene, lights: Lights, pool: RayPool, key: jax.Array,
             final = body(final)
     else:
         raise ValueError(f"unknown loop mode {opts.loop!r}")
+    out_pool = final.pool
+    if opts.resort:
+        # restore original ray order (radiance + pixel are what callers use
+        # positionally) with one more payload sort by the carried index
+        o = jax.lax.sort(
+            (final.orig_idx,
+             out_pool.radiance[:, 0], out_pool.radiance[:, 1],
+             out_pool.radiance[:, 2], out_pool.pixel),
+            num_keys=1,
+        )
+        out_pool = out_pool._replace(
+            radiance=jnp.stack(o[1:4], axis=-1), pixel=o[4]
+        )
     if with_stats:
-        return final.pool, final.segments
-    return final.pool
+        return out_pool, final.segments
+    return out_pool
 
 
 def _round_up(n: int, mult: int = 1024) -> int:

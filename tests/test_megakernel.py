@@ -94,12 +94,18 @@ def test_regen_schedule_matches_batch():
     r_r, s_r = mk.render_mega(mega, cam, res, res, schedule="regen", **kw)
     np.testing.assert_array_equal(np.asarray(r_b), np.asarray(r_r))
     assert float(s_b) == float(s_r)
-    # and with NEE+MIS+RR (per-lane depth drives salts, MIS state, roulette)
+    # and with NEE+MIS+RR (per-lane depth drives salts, MIS state, roulette).
+    # The RNG stream assignment still coincides exactly (a stream mismatch
+    # would flip whole paths, errors ~1e-1 at 8 spp), but the two schedules
+    # compile to different loop forms (data-dependent while vs fori) and the
+    # NEE arithmetic gets reassociated differently — so gate at float32
+    # round-off scale, not bit-exactness (measured max |diff| ≈ 4e-6).
     kw2 = dict(spp=8, seed=2, max_depth=5, nee=True, mis=True, rr=True,
                rr_start=2, interpret=True)
     n_b, _ = mk.render_mega(mega, cam, res, res, schedule="batch", **kw2)
     n_r, _ = mk.render_mega(mega, cam, res, res, schedule="regen", **kw2)
-    np.testing.assert_array_equal(np.asarray(n_b), np.asarray(n_r))
+    np.testing.assert_allclose(np.asarray(n_b), np.asarray(n_r),
+                               rtol=1e-4, atol=2e-5)
 
 
 @pytest.mark.slow

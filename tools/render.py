@@ -64,6 +64,9 @@ def main(argv=None):
                     help="save (sum, count) every N samples for --resume")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the checkpoint in --out")
+    ap.add_argument("--resort", choices=["auto", "on", "off"], default="auto",
+                    help="inter-bounce ray re-sorting (Morton/octant) for the "
+                         "wavefront BVH path; auto = on for clustered scenes")
     args = ap.parse_args(argv)
 
     from mcpt.config import load_config
@@ -135,17 +138,26 @@ def main(argv=None):
     if engine == "auto":
         # the fused megakernel covers VMEM-sized scenes (tables ≤ ~4k tris)
         engine = "mega" if scene.n_tris <= 2048 else "wavefront"
+    if engine != "mega":
+        from mcpt.render import traverse as trv
+
+        resort = (args.resort == "on"
+                  or (args.resort == "auto"
+                      and trv.resolve_method(scene, opts.method) == "cluster"))
+        if resort:
+            opts = opts._replace(resort=True)
     if engine == "mega":
         from mcpt.pallas import megakernel as mk
 
         mega = mk.build_megascene(scene, lights)
+        interp = jax.default_backend() != "tpu"  # CPU hosts: TPU interpreter
 
         def render_step(seed_step, step):
             rad, _ = mk.render_mega(
                 mega, cam, width, height, spp=step, seed=seed_step,
                 max_depth=opts.max_depth, rr=opts.russian_roulette,
                 rr_start=opts.rr_start_depth, nee=opts.nee, mis=opts.mis,
-                clamp=cfg.integrator.clamp,
+                clamp=cfg.integrator.clamp, interpret=interp,
             )
             return rad
     else:
