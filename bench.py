@@ -1,12 +1,14 @@
 #!/usr/bin/env python
 """Headline benchmarks: path-tracing throughput on one TPU chip.
 
-Two regimes, one JSON line each (the driver records the LAST line):
+Three regimes, one JSON line each (the driver records the LAST line):
 
 1. ``boxfield`` — 108k-triangle large-BVH scene (the reference diningroom
    workload shape, ``config.json:58-84``): wavefront pipeline + Pallas
-   block-coherent BVH traversal, depth 8.
-2. ``cbox`` 1024² depth 16 — the fused Pallas megakernel (VMEM-sized scene).
+   block-coherent BVH traversal, depth 8, inter-bounce resort.
+2. ``veach_mis`` 768×512 depth 16 NEE+MIS (the reference veach workload
+   shape, ``config.json:31-56``) — the megakernel's chunked fori tier.
+3. ``cbox`` 1024² depth 16 — the fused Pallas megakernel (VMEM-sized scene).
 
 The reference publishes no numbers (BASELINE.md) — the self-established north
 star is ≥500 Mrays/s per chip on cbox 1024².  "Rays" counts *live* ray segments
@@ -83,6 +85,47 @@ def _bench_cbox(n_batches: int = 6) -> dict:
     }
 
 
+def _bench_veach(n_batches: int = 5) -> dict:
+    """The reference veach_mis workload shape (config.json:31-56: 768×512,
+    depth 16) with the north-star NEE+MIS estimator — 332 tris runs the
+    megakernel's chunk-unrolled fori tier (UNROLL cap is 128)."""
+    import jax
+
+    from mcpt.pallas import megakernel as mk
+    from mcpt.render import camera as camera_mod
+    from mcpt.scene import build_scene
+    from mcpt.scenes import veach_mis
+
+    width, height = 768, 512
+    spp_per_batch = 8
+
+    loaded, camcfg = veach_mis()
+    camcfg = dataclasses.replace(camcfg, resolution=(width, height))
+    scene, lights = build_scene(loaded)
+    cam = camera_mod.make_camera(camcfg)
+    mega = mk.build_megascene(scene, lights)
+
+    def step(seed):
+        return mk.render_mega(mega, cam, width, height, spp=spp_per_batch,
+                              seed=seed, max_depth=16, nee=True, mis=True)
+
+    rad, _ = step(0)  # warmup + compile
+    jax.block_until_ready(rad)
+    rates = []
+    for i in range(n_batches):
+        t0 = time.time()
+        _, seg = step(i + 1)
+        seg_f = float(seg)
+        rates.append(seg_f / (time.time() - t0))
+    mrays = statistics.median(rates) / 1e6
+    return {
+        "metric": "veach_mis 768x512 depth-16 NEE+MIS throughput",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 500.0, 3),
+    }
+
+
 def _bench_boxfield(n_batches: int = 5) -> dict:
     import jax
 
@@ -143,6 +186,7 @@ def _bench_boxfield(n_batches: int = 5) -> dict:
 def main() -> int:
     _enable_cache()
     print(json.dumps(_bench_boxfield()), flush=True)
+    print(json.dumps(_bench_veach()), flush=True)
     print(json.dumps(_bench_cbox()), flush=True)
     return 0
 

@@ -124,23 +124,30 @@ def _onb(nx, ny, nz):
 # loop-invariant) and the intersect/resolve loops are fully unrolled — per-
 # iteration scalar loads inside the hot loop are the dominant cost otherwise.
 UNROLL_MAX_TRIS = 128
+# Scenes past the full-unroll cap run fori triangle loops; unrolling
+# CHUNK_TRIS tests per iteration keeps the scalar core prefetching rows ahead
+# of the VPU (the same straight-line-code effect as the full unroll) at
+# 1/CHUNK_TRIS of the loop-carry overhead, with code size bounded.  Triangle
+# tables are padded to a CHUNK_TRIS multiple with never-hit rows.
+CHUNK_TRIS = 16
 
 
 def _make_render_kernel(static_tris: int | None, static_mats: int | None,
                         use_nee: bool, use_mis: bool, static_lights: int,
-                        regen: bool):
+                        regen: bool, n_tris_pad: int):
     def kernel(si_ref, sf_ref, tri_ref, matt_ref, lit_ref, r_ref, g_ref,
                b_ref, seg_ref):
         return _render_body(static_tris, static_mats, use_nee, use_mis,
-                            static_lights, regen, si_ref, sf_ref, tri_ref,
-                            matt_ref, lit_ref, r_ref, g_ref, b_ref, seg_ref)
+                            static_lights, regen, n_tris_pad, si_ref, sf_ref,
+                            tri_ref, matt_ref, lit_ref, r_ref, g_ref, b_ref,
+                            seg_ref)
 
     return kernel
 
 
 def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
-                 regen, si_ref, sf_ref, tri_ref, matt_ref, lit_ref, r_ref,
-                 g_ref, b_ref, seg_ref):
+                 regen, n_tris_pad, si_ref, sf_ref, tri_ref, matt_ref,
+                 lit_ref, r_ref, g_ref, b_ref, seg_ref):
     """One block of BLK rays, full path trace.
 
     ``regen=False`` (batch schedule): one lane per (sample, pixel); a lane
@@ -334,7 +341,17 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
                 acc = tri_body_unrolled(t, acc)
             best_t, best_i = acc
         else:
-            best_t, best_i = jax.lax.fori_loop(0, n_tris, tri_body, init_ti)
+            # chunk-unrolled loop: CHUNK_TRIS straight-line tests per carry
+            # (pad rows are never-hit, so testing them is harmless)
+            def tri_chunk(c, acc):
+                base = c * CHUNK_TRIS
+                for j in range(CHUNK_TRIS):
+                    acc = tri_body(base + j, acc)
+                return acc
+
+            best_t, best_i = jax.lax.fori_loop(
+                0, n_tris_pad // CHUNK_TRIS, tri_chunk, init_ti
+            )
         hit = (best_t < 3.0e38) & (alive > 0.0)
         segs = segs + alive
 
@@ -355,11 +372,17 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
             for t in range(static_tris):
                 resolved = res_tri(t, resolved, tri_c[t])
         else:
+            # chunk-unrolled like the intersect loop (pad rows are never the
+            # best hit, so matching against them is a no-op)
+            def res_chunk(c, acc):
+                base = c * CHUNK_TRIS
+                for j in range(CHUNK_TRIS):
+                    t = base + j
+                    acc = res_tri(t, acc, [tri_ref[t, k] for k in range(16)])
+                return acc
+
             resolved = jax.lax.fori_loop(
-                0, n_tris,
-                lambda t, acc: res_tri(t, acc, [tri_ref[t, j] for j in
-                                                range(16)]),
-                init_res,
+                0, n_tris_pad // CHUNK_TRIS, res_chunk, init_res
             )
         nx, ny, nz, mid = resolved
 
@@ -578,11 +601,18 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
                         occ, shadow_test(tri_c[t]).astype(jnp.float32)
                     )
             else:
-                def sh_body(t, o):
-                    c = [tri_ref[t, j] for j in range(12)]
-                    return jnp.maximum(o, shadow_test(c).astype(jnp.float32))
+                def sh_chunk(ci, o):
+                    base = ci * CHUNK_TRIS
+                    for j in range(CHUNK_TRIS):
+                        c = [tri_ref[base + j, k] for k in range(12)]
+                        o = jnp.maximum(
+                            o, shadow_test(c).astype(jnp.float32)
+                        )
+                    return o
 
-                occ = jax.lax.fori_loop(0, n_tris, sh_body, occ)
+                occ = jax.lax.fori_loop(
+                    0, n_tris_pad // CHUNK_TRIS, sh_chunk, occ
+                )
 
             vis = cand.astype(jnp.float32) * (1.0 - occ)
             segs = segs + cand.astype(jnp.float32)
@@ -753,12 +783,12 @@ def build_megascene(scene: T.Scene, lights=None) -> MegaScene:
     matt[: mats.count, 10] = np.asarray(mats.ni)
     matt[: mats.count, 11] = np.asarray(mats.mtype).astype(np.float32)
 
-    pad = (-t_count) % 8
+    pad = (-t_count) % CHUNK_TRIS
     if pad:
         tri = np.pad(tri, ((0, pad), (0, 0)))
         matt = np.pad(matt, ((0, pad), (0, 0)))
-        # padded rows: b2 = 1, A = 0 ⇒ d'_w = 0 ⇒ never hit (loop is bounded by
-        # n_tris anyway; this is belt-and-braces)
+        # padded rows: b2 = 1, A = 0 ⇒ d'_w = 0 ⇒ never hit — the chunked
+        # fori loops test all padded rows, so this is load-bearing
         tri[t_count:, 11] = 1.0
 
     # NEE light table: v0, e1, e2, emission, unit normal, area CDF
@@ -872,9 +902,11 @@ def _render_mega_jit(tri, matt, lit, cam, width, height, spp, seed, max_depth,
     ]
     static_tris = n_tris if n_tris <= UNROLL_MAX_TRIS else None
     static_mats = n_mats if n_mats <= 64 else None
+    if static_tris is None:
+        assert tri.shape[0] % CHUNK_TRIS == 0, tri.shape
     r, g, b, segs = pl.pallas_call(
         _make_render_kernel(static_tris, static_mats, nee, mis, n_lights,
-                            regen),
+                            regen, tri.shape[0]),
         grid=grid,
         out_shape=out_shape,
         in_specs=[

@@ -79,6 +79,36 @@ def test_megakernel_nee_matches_wavefront():
 
 
 @pytest.mark.slow
+def test_megakernel_chunked_fori_matches_unrolled(monkeypatch):
+    """Scenes past UNROLL_MAX_TRIS run the chunk-unrolled fori triangle loops
+    (intersect + resolve + NEE shadow).  Force cbox through that tier by
+    lowering the cap: the fori render (3 chunks of 16 over the 36-tri table,
+    12 never-hit pad rows) must match the default unrolled render — RNG
+    streams are identical, so agreement is deterministic (f32 round-off
+    only).  This is the CI gate for the chunking arithmetic and the pad-row
+    contract; veach (332 tris) runs the same tier, just too slowly for the
+    interpreter."""
+    loaded, camcfg = cornell_box()
+    scene, lights = build_scene(loaded)
+    w, h = 24, 16
+    camcfg = dataclasses.replace(camcfg, resolution=(w, h))
+    cam = cm.make_camera(camcfg)
+    mega = mk.build_megascene(scene, lights)
+    assert mega.tri.shape[0] % mk.CHUNK_TRIS == 0  # pad contract
+    kw = dict(spp=4, seed=1, max_depth=4, nee=True, mis=True, interpret=True)
+    rad_u, segs_u = mk.render_mega(mega, cam, w, h, **kw)
+    monkeypatch.setattr(mk, "UNROLL_MAX_TRIS", 8)
+    mk._render_mega_jit.clear_cache()
+    rad_c, segs_c = mk.render_mega(mega, cam, w, h, **kw)
+    mk._render_mega_jit.clear_cache()  # don't leak the patched trace
+    m = np.asarray(rad_c) / 4
+    assert np.isfinite(m).all() and m.mean() > 0.001
+    np.testing.assert_allclose(np.asarray(rad_c), np.asarray(rad_u),
+                               rtol=1e-4, atol=2e-5)
+    assert float(segs_c) == float(segs_u)
+
+
+@pytest.mark.slow
 def test_regen_schedule_matches_batch():
     """Path regeneration (one lane per pixel, in-kernel next-sample restart)
     is bit-identical to the batch schedule: the per-(sample, pixel) RNG
