@@ -206,8 +206,8 @@ def render_mega_sharded(
     n_pad = _pad_to(n, d_p)
     local_n = n_pad // d_p
 
-    def step(tri, matt, lit, cam_):
-        mega_local = mega._replace(tri=tri, matt=matt, lit=lit)
+    def step(tri, matt, lit, cbox, cam_):
+        mega_local = mega._replace(tri=tri, matt=matt, lit=lit, cbox=cbox)
         si = jax.lax.axis_index("samples")
         pi = jax.lax.axis_index("pixels")
         dev_seed = seed + si * 65537 + 1  # pixel shards share the sample seed
@@ -223,9 +223,9 @@ def render_mega_sharded(
         shard_map(
             step,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P()),
+            in_specs=(P(), P(), P(), P(), P()),
             out_specs=P("pixels"),
             check_vma=False,
         )
-    )(mega.tri, mega.matt, mega.lit, cam)
+    )(mega.tri, mega.matt, mega.lit, mega.cbox, cam)
     return out[:n]

@@ -135,19 +135,20 @@ CHUNK_TRIS = 16
 def _make_render_kernel(static_tris: int | None, static_mats: int | None,
                         use_nee: bool, use_mis: bool, static_lights: int,
                         regen: bool, n_tris_pad: int):
-    def kernel(si_ref, sf_ref, tri_ref, matt_ref, lit_ref, r_ref, g_ref,
-               b_ref, seg_ref):
+    def kernel(si_ref, sf_ref, tri_ref, matt_ref, lit_ref, cb_ref, r_ref,
+               g_ref, b_ref, seg_ref, bt_ref, bi_ref, occ_ref):
         return _render_body(static_tris, static_mats, use_nee, use_mis,
                             static_lights, regen, n_tris_pad, si_ref, sf_ref,
-                            tri_ref, matt_ref, lit_ref, r_ref, g_ref, b_ref,
-                            seg_ref)
+                            tri_ref, matt_ref, lit_ref, cb_ref, r_ref, g_ref,
+                            b_ref, seg_ref, bt_ref, bi_ref, occ_ref)
 
     return kernel
 
 
 def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
                  regen, n_tris_pad, si_ref, sf_ref, tri_ref, matt_ref,
-                 lit_ref, r_ref, g_ref, b_ref, seg_ref):
+                 lit_ref, cb_ref, r_ref, g_ref, b_ref, seg_ref, bt_ref,
+                 bi_ref, occ_ref):
     """One block of BLK rays, full path trace.
 
     ``regen=False`` (batch schedule): one lane per (sample, pixel); a lane
@@ -341,17 +342,56 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
                 acc = tri_body_unrolled(t, acc)
             best_t, best_i = acc
         else:
-            # chunk-unrolled loop: CHUNK_TRIS straight-line tests per carry
-            # (pad rows are never-hit, so testing them is harmless)
-            def tri_chunk(c, acc):
-                base = c * CHUNK_TRIS
-                for j in range(CHUNK_TRIS):
-                    acc = tri_body(base + j, acc)
-                return acc
+            # chunk-unrolled loop with AABB culling: rows are Morton-sorted
+            # (build_megascene), so each CHUNK_TRIS-row chunk has a tight box
+            # (cb_ref).  Slab-test the box against the whole block pruned by
+            # the running best_t, and pl.when-skip the 16 straight-line tests
+            # when no live lane can improve — the fori-tier analogue of a
+            # one-level BVH.  Pad rows are never-hit; hit state lives in
+            # scratch refs so the skipped branch mutates nothing.
+            tiny = 1e-30
+            ivx = 1.0 / jnp.where(jnp.abs(dx) < tiny,
+                                  jnp.where(dx < 0.0, -tiny, tiny), dx)
+            ivy = 1.0 / jnp.where(jnp.abs(dy) < tiny,
+                                  jnp.where(dy < 0.0, -tiny, tiny), dy)
+            ivz = 1.0 / jnp.where(jnp.abs(dz) < tiny,
+                                  jnp.where(dz < 0.0, -tiny, tiny), dz)
+            alive_m = alive > 0.0
+            bt_ref[:] = zeros + 3.0e38
+            bi_ref[:] = (row + col) * 0
 
-            best_t, best_i = jax.lax.fori_loop(
-                0, n_tris_pad // CHUNK_TRIS, tri_chunk, init_ti
-            )
+            def tri_chunk(c, carry):
+                t0x = (cb_ref[c, 0] - ox) * ivx
+                t1x = (cb_ref[c, 3] - ox) * ivx
+                t0y = (cb_ref[c, 1] - oy) * ivy
+                t1y = (cb_ref[c, 4] - oy) * ivy
+                t0z = (cb_ref[c, 2] - oz) * ivz
+                t1z = (cb_ref[c, 5] - oz) * ivz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                    jnp.minimum(t0z, t1z),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.maximum(t0z, t1z),
+                )
+                hitc = ((tf >= jnp.maximum(tn, 0.0)) & (tn < bt_ref[:])
+                        & alive_m)
+
+                @pl.when(jnp.any(hitc))
+                def _():
+                    acc = (bt_ref[:], bi_ref[:])
+                    base = c * CHUNK_TRIS
+                    for j in range(CHUNK_TRIS):
+                        acc = tri_body(base + j, acc)
+                    bt_ref[:] = acc[0]
+                    bi_ref[:] = acc[1]
+
+                return carry
+
+            jax.lax.fori_loop(0, n_tris_pad // CHUNK_TRIS, tri_chunk,
+                              jnp.int32(0))
+            best_t, best_i = bt_ref[:], bi_ref[:]
         hit = (best_t < 3.0e38) & (alive > 0.0)
         segs = segs + alive
 
@@ -601,18 +641,57 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
                         occ, shadow_test(tri_c[t]).astype(jnp.float32)
                     )
             else:
-                def sh_chunk(ci, o):
-                    base = ci * CHUNK_TRIS
-                    for j in range(CHUNK_TRIS):
-                        c = [tri_ref[base + j, k] for k in range(12)]
-                        o = jnp.maximum(
-                            o, shadow_test(c).astype(jnp.float32)
-                        )
-                    return o
+                # chunk culling for shadow rays, doubly pruned: a chunk is
+                # skipped unless its box straddles some candidate lane's
+                # unoccluded segment (t ∈ (0, limit)) — occluded lanes stop
+                # widening the union, so blocks that occlude early skip the
+                # rest of the table
+                tiny = 1e-30
+                isx = 1.0 / jnp.where(jnp.abs(iwx) < tiny,
+                                      jnp.where(iwx < 0.0, -tiny, tiny), iwx)
+                isy = 1.0 / jnp.where(jnp.abs(iwy) < tiny,
+                                      jnp.where(iwy < 0.0, -tiny, tiny), iwy)
+                isz = 1.0 / jnp.where(jnp.abs(iwz) < tiny,
+                                      jnp.where(iwz < 0.0, -tiny, tiny), iwz)
+                occ_ref[:] = zeros
 
-                occ = jax.lax.fori_loop(
-                    0, n_tris_pad // CHUNK_TRIS, sh_chunk, occ
-                )
+                def sh_chunk(ci, carry):
+                    t0x = (cb_ref[ci, 0] - sox) * isx
+                    t1x = (cb_ref[ci, 3] - sox) * isx
+                    t0y = (cb_ref[ci, 1] - soy) * isy
+                    t1y = (cb_ref[ci, 4] - soy) * isy
+                    t0z = (cb_ref[ci, 2] - soz) * isz
+                    t1z = (cb_ref[ci, 5] - soz) * isz
+                    tn = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t0x, t1x),
+                                    jnp.minimum(t0y, t1y)),
+                        jnp.minimum(t0z, t1z),
+                    )
+                    tf = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.maximum(t0z, t1z),
+                    )
+                    seg_live = cand & (occ_ref[:] < 0.5)
+                    hitc = ((tf >= jnp.maximum(tn, 0.0)) & (tn < limit)
+                            & seg_live)
+
+                    @pl.when(jnp.any(hitc))
+                    def _():
+                        o = occ_ref[:]
+                        base = ci * CHUNK_TRIS
+                        for j in range(CHUNK_TRIS):
+                            c = [tri_ref[base + j, k] for k in range(12)]
+                            o = jnp.maximum(
+                                o, shadow_test(c).astype(jnp.float32)
+                            )
+                        occ_ref[:] = o
+
+                    return carry
+
+                jax.lax.fori_loop(0, n_tris_pad // CHUNK_TRIS, sh_chunk,
+                                  jnp.int32(0))
+                occ = occ_ref[:]
 
             vis = cand.astype(jnp.float32) * (1.0 - occ)
             segs = segs + cand.astype(jnp.float32)
@@ -744,10 +823,20 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
     seg_ref[:] = final[15]
 
 
+def _expand_bits_np(x: np.ndarray) -> np.ndarray:
+    """Spread 10 bits to every 3rd position (Karras Morton expansion)."""
+    x = (x | (x << 16)) & np.uint32(0x030000FF)
+    x = (x | (x << 8)) & np.uint32(0x0300F00F)
+    x = (x | (x << 4)) & np.uint32(0x030C30C3)
+    x = (x | (x << 2)) & np.uint32(0x09249249)
+    return x
+
+
 class MegaScene(NamedTuple):
     """Device tables for the megakernel (built once per scene)."""
 
-    tri: jnp.ndarray  # (T_pad, 16) f32
+    tri: jnp.ndarray  # (T_pad, 16) f32 — Morton row order past the unroll cap
+    cbox: jnp.ndarray  # (T_pad/CHUNK, 8) f32 chunk AABBs ((1,8) when unrolled)
     matt: jnp.ndarray  # (M, 16) f32 — one row per material
     lit: jnp.ndarray  # (L_pad, 16) f32 — emissive-tri table (NEE)
     n_tris: int
@@ -773,6 +862,24 @@ def build_megascene(scene: T.Scene, lights=None) -> MegaScene:
 
     mat_id = np.clip(np.asarray(scene.geom.mat_id), 0, None)
     tri[:, 15] = mat_id.astype(np.float32)
+
+    verts3 = np.asarray(scene.geom.verts, np.float32).reshape(t_count, 3, 3)
+    if t_count > UNROLL_MAX_TRIS:
+        # fori-tier scenes: Morton-sort rows so each CHUNK_TRIS-row chunk is
+        # spatially tight, enabling the in-kernel chunk-box culling.  Row
+        # order is internal to the kernel (normals/material ride the rows;
+        # the NEE light table indexes the original geometry separately).
+        cen = verts3.mean(axis=1)
+        lo = cen.min(axis=0)
+        ext = np.maximum(cen.max(axis=0) - lo, 1e-20)
+        q = np.clip((cen - lo) / ext * 1024.0, 0.0, 1023.0).astype(np.uint32)
+        code = ((_expand_bits_np(q[:, 2]) << 2)
+                | (_expand_bits_np(q[:, 1]) << 1)
+                | _expand_bits_np(q[:, 0]))
+        perm = np.argsort(code, kind="stable")
+        tri = tri[perm]
+        verts3 = verts3[perm]
+
     mats = scene.materials
     m_count = max(int(mats.count), 1)
     matt = np.zeros((m_count, 16), np.float32)
@@ -790,6 +897,22 @@ def build_megascene(scene: T.Scene, lights=None) -> MegaScene:
         # padded rows: b2 = 1, A = 0 ⇒ d'_w = 0 ⇒ never hit — the chunked
         # fori loops test all padded rows, so this is load-bearing
         tri[t_count:, 11] = 1.0
+
+    # per-chunk AABBs for the fori tier's culling (pad rows excluded via
+    # ±inf sentinels; every chunk holds ≥1 real row, so no box inverts —
+    # an inverted box would ALWAYS pass the min/max slab test)
+    if t_count > UNROLL_MAX_TRIS:
+        n_rows = tri.shape[0]
+        tmin = np.full((n_rows, 3), np.inf, np.float32)
+        tmax = np.full((n_rows, 3), -np.inf, np.float32)
+        tmin[:t_count] = verts3.min(axis=1)
+        tmax[:t_count] = verts3.max(axis=1)
+        nch = n_rows // CHUNK_TRIS
+        cbox = np.zeros((nch, 8), np.float32)
+        cbox[:, 0:3] = tmin.reshape(nch, CHUNK_TRIS, 3).min(axis=1)
+        cbox[:, 3:6] = tmax.reshape(nch, CHUNK_TRIS, 3).max(axis=1)
+    else:
+        cbox = np.zeros((1, 8), np.float32)  # unrolled tier: never read
 
     # NEE light table: v0, e1, e2, emission, unit normal, area CDF
     n_lights = 0
@@ -810,6 +933,7 @@ def build_megascene(scene: T.Scene, lights=None) -> MegaScene:
         lit = np.zeros((1, 16), np.float32)
     return MegaScene(
         tri=jnp.asarray(tri), matt=jnp.asarray(matt), lit=jnp.asarray(lit),
+        cbox=jnp.asarray(cbox),
         n_tris=t_count, n_mats=m_count, n_lights=n_lights,
         eps=float(scene.eps), total_light_area=total_area,
     )
@@ -841,9 +965,9 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
         schedule = "regen" if spp > 1 else "batch"
     assert schedule in ("regen", "batch"), schedule
     return _render_mega_jit(
-        mega.tri, mega.matt, mega.lit, cam, width, height, spp, seed,
-        max_depth, rr, rr_start, nee and mega.n_lights > 0, mis, clamp, t_min,
-        interpret, mega.n_tris, mega.n_mats, mega.n_lights, mega.eps,
+        mega.tri, mega.matt, mega.lit, mega.cbox, cam, width, height, spp,
+        seed, max_depth, rr, rr_start, nee and mega.n_lights > 0, mis, clamp,
+        t_min, interpret, mega.n_tris, mega.n_mats, mega.n_lights, mega.eps,
         mega.total_light_area, pixel_base, pixel_count,
         schedule == "regen",
     )
@@ -856,10 +980,10 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
                      "n_mats", "n_lights", "eps", "total_light_area",
                      "pixel_count", "regen"),
 )
-def _render_mega_jit(tri, matt, lit, cam, width, height, spp, seed, max_depth,
-                     rr, rr_start, nee, mis, clamp, t_min, interpret, n_tris,
-                     n_mats, n_lights, eps, total_light_area, pixel_base,
-                     pixel_count, regen=False):
+def _render_mega_jit(tri, matt, lit, cb, cam, width, height, spp, seed,
+                     max_depth, rr, rr_start, nee, mis, clamp, t_min,
+                     interpret, n_tris, n_mats, n_lights, eps,
+                     total_light_area, pixel_base, pixel_count, regen=False):
     n_pixels = pixel_count
     n_rays = n_pixels if regen else n_pixels * spp
     n_blocks = (n_rays + BLK - 1) // BLK
@@ -915,11 +1039,19 @@ def _render_mega_jit(tri, matt, lit, cam, width, height, spp, seed, max_depth,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
+        # hit/occlusion state for the culled fori tier (pl.when branches
+        # mutate refs, so the while-loop carry stays unchanged)
+        scratch_shapes=[
+            pltpu.VMEM((SUB, 128), jnp.float32),
+            pltpu.VMEM((SUB, 128), jnp.int32),
+            pltpu.VMEM((SUB, 128), jnp.float32),
+        ],
         # bool True → the TPU interpreter (supports pltpu prims on CPU hosts)
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(si, sf, tri, matt, lit)
+    )(si, sf, tri, matt, lit, cb)
 
     rad = jnp.stack(
         [r.reshape(-1)[:n_rays], g.reshape(-1)[:n_rays], b.reshape(-1)[:n_rays]],

@@ -80,32 +80,54 @@ def test_megakernel_nee_matches_wavefront():
 
 @pytest.mark.slow
 def test_megakernel_chunked_fori_matches_unrolled(monkeypatch):
-    """Scenes past UNROLL_MAX_TRIS run the chunk-unrolled fori triangle loops
-    (intersect + resolve + NEE shadow).  Force cbox through that tier by
-    lowering the cap: the fori render (3 chunks of 16 over the 36-tri table,
-    12 never-hit pad rows) must match the default unrolled render — RNG
-    streams are identical, so agreement is deterministic (f32 round-off
-    only).  This is the CI gate for the chunking arithmetic and the pad-row
-    contract; veach (332 tris) runs the same tier, just too slowly for the
-    interpreter."""
+    """Scenes past UNROLL_MAX_TRIS run chunk-unrolled, AABB-culled fori
+    triangle loops (intersect + resolve + NEE shadow).  Force cbox through
+    that tier by lowering the cap and gate two invariants:
+
+    1. fori tier over the SAME row order (culling disabled via infinite
+       chunk boxes) ≡ the unrolled render to f32 round-off — RNG streams are
+       identical, so this is deterministic (measured max |diff| ~6e-8).
+       A Morton-reordered table is NOT comparable this way: reordering
+       changes which triangle wins exact-tie hits at shared edges.
+    2. real chunk culling ≡ no culling, bit-exact, on the production
+       (Morton-sorted) table — a skipped chunk must never hide a hit.
+    """
+    import jax.numpy as jnp
+
     loaded, camcfg = cornell_box()
     scene, lights = build_scene(loaded)
     w, h = 24, 16
     camcfg = dataclasses.replace(camcfg, resolution=(w, h))
     cam = cm.make_camera(camcfg)
-    mega = mk.build_megascene(scene, lights)
-    assert mega.tri.shape[0] % mk.CHUNK_TRIS == 0  # pad contract
+    mega_u = mk.build_megascene(scene, lights)
+    assert mega_u.tri.shape[0] % mk.CHUNK_TRIS == 0  # pad contract
     kw = dict(spp=4, seed=1, max_depth=4, nee=True, mis=True, interpret=True)
-    rad_u, segs_u = mk.render_mega(mega, cam, w, h, **kw)
+    rad_u, segs_u = mk.render_mega(mega_u, cam, w, h, **kw)
+
+    def nocull(mega):
+        c = mega.tri.shape[0] // mk.CHUNK_TRIS
+        big = np.zeros((c, 8), np.float32)
+        big[:, 0:3] = -3.0e38
+        big[:, 3:6] = 3.0e38
+        return mega._replace(cbox=jnp.asarray(big))
+
     monkeypatch.setattr(mk, "UNROLL_MAX_TRIS", 8)
     mk._render_mega_jit.clear_cache()
-    rad_c, segs_c = mk.render_mega(mega, cam, w, h, **kw)
-    mk._render_mega_jit.clear_cache()  # don't leak the patched trace
+    # 1. tier equivalence at fixed row order
+    rad_f, segs_f = mk.render_mega(nocull(mega_u), cam, w, h, **kw)
+    np.testing.assert_allclose(np.asarray(rad_f), np.asarray(rad_u),
+                               rtol=1e-4, atol=2e-5)
+    assert float(segs_f) == float(segs_u)
+    # 2. culling soundness on the sorted production table
+    mega_c = mk.build_megascene(scene, lights)
+    assert mega_c.cbox.shape[0] == mega_c.tri.shape[0] // mk.CHUNK_TRIS
+    rad_c, segs_c = mk.render_mega(mega_c, cam, w, h, **kw)
+    rad_n, segs_n = mk.render_mega(nocull(mega_c), cam, w, h, **kw)
+    mk._render_mega_jit.clear_cache()  # don't leak the patched traces
     m = np.asarray(rad_c) / 4
     assert np.isfinite(m).all() and m.mean() > 0.001
-    np.testing.assert_allclose(np.asarray(rad_c), np.asarray(rad_u),
-                               rtol=1e-4, atol=2e-5)
-    assert float(segs_c) == float(segs_u)
+    np.testing.assert_array_equal(np.asarray(rad_c), np.asarray(rad_n))
+    assert float(segs_c) == float(segs_n)
 
 
 @pytest.mark.slow
