@@ -136,8 +136,10 @@ def main(argv=None):
 
     engine = cfg.engine
     if engine == "auto":
-        # the fused megakernel covers VMEM-sized scenes (tables ≤ ~4k tris)
-        engine = "mega" if scene.n_tris <= 2048 else "wavefront"
+        # measured crossover (docs/PERF_NOTES.md, boxfield sweep): the fused
+        # megakernel (chunk-culled fori tier) beats the wavefront cluster
+        # pipeline up to ~6k triangles; past that the cluster BVH wins
+        engine = "mega" if scene.n_tris <= 6000 else "wavefront"
     if engine != "mega":
         from mcpt.render import traverse as trv
 
