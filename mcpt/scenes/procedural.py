@@ -24,8 +24,8 @@ def _quad(a, b, c, d):
     return [(a, b, c), (a, c, d)]
 
 
-def _box(pmin, pmax):
-    """12 triangles of an axis-aligned box with outward normals."""
+def _box_faces(pmin, pmax):
+    """The 6 quads (a, b, c, d) of an axis-aligned box, outward winding."""
     x0, y0, z0 = pmin
     x1, y1, z1 = pmax
     p = {
@@ -34,13 +34,46 @@ def _box(pmin, pmax):
         for j in (0, 1)
         for k in (0, 1)
     }
+    return [
+        (p[0, 0, 0], p[0, 1, 0], p[1, 1, 0], p[1, 0, 0]),  # z = z0
+        (p[0, 0, 1], p[1, 0, 1], p[1, 1, 1], p[0, 1, 1]),  # z = z1
+        (p[0, 0, 0], p[0, 0, 1], p[0, 1, 1], p[0, 1, 0]),  # x = x0
+        (p[1, 0, 0], p[1, 1, 0], p[1, 1, 1], p[1, 0, 1]),  # x = x1
+        (p[0, 0, 0], p[1, 0, 0], p[1, 0, 1], p[0, 0, 1]),  # y = y0
+        (p[0, 1, 0], p[0, 1, 1], p[1, 1, 1], p[1, 1, 0]),  # y = y1
+    ]
+
+
+def _box(pmin, pmax):
+    """12 triangles of an axis-aligned box with outward normals."""
     tris = []
-    tris += _quad(p[0, 0, 0], p[0, 1, 0], p[1, 1, 0], p[1, 0, 0])  # z = z0
-    tris += _quad(p[0, 0, 1], p[1, 0, 1], p[1, 1, 1], p[0, 1, 1])  # z = z1
-    tris += _quad(p[0, 0, 0], p[0, 0, 1], p[0, 1, 1], p[0, 1, 0])  # x = x0
-    tris += _quad(p[1, 0, 0], p[1, 1, 0], p[1, 1, 1], p[1, 0, 1])  # x = x1
-    tris += _quad(p[0, 0, 0], p[1, 0, 0], p[1, 0, 1], p[0, 0, 1])  # y = y0
-    tris += _quad(p[0, 1, 0], p[0, 1, 1], p[1, 1, 1], p[1, 1, 0])  # y = y1
+    for f in _box_faces(pmin, pmax):
+        tris += _quad(*f)
+    return tris
+
+
+def _quad_tess(a, b, c, d, n: int):
+    """Quad a-b-c-d split into an n×n bilinear grid (2·n² triangles) —
+    tessellation makes flat surfaces BVH-deep like real scanned meshes."""
+    a, b, c, d = (np.asarray(p, np.float32) for p in (a, b, c, d))
+
+    def pt(u, v):
+        return tuple((a * (1 - u) + b * u) * (1 - v) + (d * (1 - u) + c * u) * v)
+
+    tris = []
+    for i in range(n):
+        for j in range(n):
+            u0, u1 = i / n, (i + 1) / n
+            v0, v1 = j / n, (j + 1) / n
+            tris += _quad(pt(u0, v0), pt(u1, v0), pt(u1, v1), pt(u0, v1))
+    return tris
+
+
+def _box_tess(pmin, pmax, n: int):
+    """Box with each face tessellated n×n (12·n² triangles)."""
+    tris = []
+    for f in _box_faces(pmin, pmax):
+        tris += _quad_tess(*f, n)
     return tris
 
 
@@ -320,6 +353,115 @@ def boxfield(n_boxes: int = 9000, seed: int = 0):
     cam = CameraConfig(
         position=(0, 25, 110), lookat=(0, 2, 0), up=(0, 1, 0), fov=50,
         resolution=(640, 360),
+    )
+    return loaded, cam
+
+
+def diningroom(tess: int = 70) -> tuple[LoadedObject, CameraConfig]:
+    """Procedural dining-room interior — the stand-in for the reference's
+    third workload preset (``config.json:58-84``: 1280×720, fov 60, depth 8,
+    512 spp; the shipped ``diningroom.obj`` is gitignored, only the .mtl and
+    the 2048-spp EXR survive).  A closed room with two ceiling light panels,
+    a table with glass/metal tableware, and six chairs: interior
+    multi-bounce GI, glossy + transparent transport, and NEE from small
+    emitters inside a ~100k-triangle mesh (surfaces are grid-tessellated so
+    the BVH is as deep as a real scanned scene).
+
+    ``tess`` scales triangle count: room faces are tess×tess, furniture
+    tess/8, spheres icosphere(subdiv 3).  Default ≈ 100k triangles.
+    """
+    order = ["wall", "wood", "lamp", "cloth", "metal", "glass", "dish"]
+    names = {n: i for i, n in enumerate(order)}
+    ft = max(2, tess // 8)
+    tris: list = []
+    mat_id: list[int] = []
+
+    def add(t, m):
+        tris.extend(t)
+        mat_id.extend([names[m]] * len(t))
+
+    # room shell x∈[-3,3], y∈[0,2.8], z∈[-4,4] (inward-facing winding is
+    # irrelevant: shading flips normals toward the ray)
+    add(_quad_tess((-3, 0, -4), (3, 0, -4), (3, 0, 4), (-3, 0, 4), tess),
+        "wood")  # floor
+    add(_quad_tess((-3, 2.8, -4), (3, 2.8, -4), (3, 2.8, 4), (-3, 2.8, 4),
+                   tess), "wall")  # ceiling
+    add(_quad_tess((-3, 0, -4), (-3, 2.8, -4), (3, 2.8, -4), (3, 0, -4),
+                   tess), "wall")  # back
+    add(_quad_tess((-3, 0, 4), (3, 0, 4), (3, 2.8, 4), (-3, 2.8, 4), tess),
+        "wall")  # front (behind camera)
+    add(_quad_tess((-3, 0, -4), (-3, 0, 4), (-3, 2.8, 4), (-3, 2.8, -4),
+                   tess), "wall")
+    add(_quad_tess((3, 0, -4), (3, 2.8, -4), (3, 2.8, 4), (3, 0, 4), tess),
+        "wall")
+    # two ceiling lamp panels (just below the ceiling, facing down)
+    for zc in (-1.3, 1.3):
+        add(_quad((-0.6, 2.79, zc - 0.4), (0.6, 2.79, zc - 0.4),
+                  (0.6, 2.79, zc + 0.4), (-0.6, 2.79, zc + 0.4)), "lamp")
+
+    # dining table: top slab + 4 legs
+    add(_box_tess((-1.1, 0.72, -0.65), (1.1, 0.78, 0.65), ft), "wood")
+    for lx in (-1.0, 1.0):
+        for lz in (-0.55, 0.55):
+            add(_box_tess((lx - 0.04, 0, lz - 0.04), (lx + 0.04, 0.72,
+                                                      lz + 0.04), ft), "wood")
+
+    # six chairs around the table (seat, backrest, 4 legs each)
+    def chair(cx, cz, face_x):
+        s = 0.22  # half seat width
+        add(_box_tess((cx - s, 0.42, cz - s), (cx + s, 0.47, cz + s), ft),
+            "cloth")
+        bx = cx + (s - 0.03) * face_x
+        add(_box_tess((bx - 0.03, 0.47, cz - s), (bx + 0.03, 0.95, cz + s),
+                      ft), "cloth")
+        for dx in (-s + 0.03, s - 0.03):
+            for dz in (-s + 0.03, s - 0.03):
+                add(_box_tess((cx + dx - 0.02, 0, cz + dz - 0.02),
+                              (cx + dx + 0.02, 0.42, cz + dz + 0.02), ft),
+                    "wood")
+
+    for cz in (-0.45, 0.45):
+        chair(-1.55, cz, -1.0)
+        chair(1.55, cz, 1.0)
+    for cx in (-0.6, 0.6):
+        chair(cx, -1.15, 0.0)
+
+    # sideboard against the +x wall
+    add(_box_tess((2.45, 0, -1.6), (2.95, 1.0, 1.6), ft), "wood")
+
+    # tableware: glass + metal spheres, diffuse dishes
+    for sx, sz, m in ((-0.55, -0.25, "glass"), (0.5, 0.3, "glass"),
+                      (-0.15, 0.35, "metal"), (0.25, -0.35, "metal")):
+        sph = icosphere((sx, 0.78 + 0.09, sz), 0.09, subdiv=3)
+        add([tuple(map(tuple, t)) for t in sph], m)
+    for dx, dz in ((-0.7, 0.3), (0.0, -0.15), (0.75, -0.2)):
+        add(_box((dx - 0.1, 0.78, dz - 0.1), (dx + 0.1, 0.80, dz + 0.1)),
+            "dish")
+
+    verts = np.asarray(tris, np.float32)
+    loaded = loaded_from_arrays(
+        verts,
+        mat_id,
+        mtype=[types.DIFFUSE, types.GLOSSY, types.LIGHT, types.DIFFUSE,
+               types.GLOSSY, types.TRANSPARENT, types.DIFFUSE],
+        kd=[[0.73, 0.70, 0.64],  # wall
+            [0.32, 0.20, 0.10],  # wood
+            [0, 0, 0],           # lamp
+            [0.55, 0.12, 0.12],  # cloth
+            [0.05, 0.05, 0.05],  # metal
+            [0, 0, 0],           # glass
+            [0.85, 0.85, 0.80]],  # dish
+        ks=[[0, 0, 0], [0.25, 0.18, 0.10], [0, 0, 0], [0, 0, 0],
+            [0.85, 0.86, 0.88], [0, 0, 0], [0, 0, 0]],
+        ka=[[0, 0, 0], [0, 0, 0], [14.0, 13.0, 11.5], [0, 0, 0], [0, 0, 0],
+            [0, 0, 0], [0, 0, 0]],
+        ns=[0, 30.0, 0, 0, 200.0, 0, 0],
+        ni=[1.0, 1.0, 1.0, 1.0, 1.0, 1.5, 1.0],
+        names=order,
+    )
+    cam = CameraConfig(
+        position=(0.0, 1.5, 3.6), lookat=(0.0, 1.0, 0.0), up=(0, 1, 0),
+        fov=60.0, resolution=(1280, 720),
     )
     return loaded, cam
 
