@@ -80,6 +80,7 @@ def build_clusters(
     mat_id: np.ndarray,
     leaf_size: int = DEFAULT_LEAF_SIZE,
     bvh=None,
+    optimize_top: bool = True,
 ) -> ClusterBVH:
     """Triangle soup → ClusterBVH (host build, like ``scene.build_wald``).
 
@@ -104,7 +105,8 @@ def build_clusters(
     if bvh is not None and n > 1:
         nodes, order_p, valid = _cut_tree(bvh, n, t)
     else:
-        nodes, order_p, valid = _morton_chunks(tri_min, tri_max, n, t)
+        nodes, order_p, valid = _morton_chunks(tri_min, tri_max, n, t,
+                                               optimize_top)
     c = order_p.shape[0] // t
 
     # cluster-ordered triangle rows (megakernel layout; see module docstring)
@@ -130,8 +132,13 @@ def build_clusters(
     )
 
 
-def _morton_chunks(tri_min, tri_max, n, t):
-    """Fixed Morton chunks of ``t`` triangles + Karras top tree over them."""
+def _morton_chunks(tri_min, tri_max, n, t, optimize_top: bool = True):
+    """Fixed Morton chunks of ``t`` triangles + Karras top tree over them.
+
+    ``optimize_top`` runs the treelet SAH restructurer on the top tree — the
+    render-path analogue of the reference always tracing its treelet-optimized
+    BVH (``scenebuild.cpp:80-95`` falls through to the GPU treelet build).
+    The top tree is tiny (N/t leaves), so the native optimizer costs ~ms."""
     import jax
 
     centroid = 0.5 * (tri_min + tri_max)
@@ -159,6 +166,10 @@ def _morton_chunks(tri_min, tri_max, n, t):
     # live on the render device instead of being re-transferred per call
     with jax.default_device(jax.devices("cpu")[0]):
         top = lbvh_mod.build_lbvh_boxes(jnp.asarray(cl_min), jnp.asarray(cl_max))
+    if optimize_top and c > 3:
+        from mcpt.bvh import treelet as treelet_mod
+
+        top = treelet_mod.optimize_treelets(top)
     top = jax.tree.map(np.asarray, top)
     m = top.n_nodes
     nodes = np.zeros((m, 8), np.float32)
