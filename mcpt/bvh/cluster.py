@@ -352,6 +352,21 @@ _BIG_BOX = np.float32(3.0e37)
 _WIDE_LEAF_BIAS = 1 << 23  # temporary leaf tag during collapse (≥ any Nw)
 
 
+def cluster_sah(c: ClusterBVH) -> float:
+    """SAH cost of the top tree (reference definition, host numpy — no device
+    round trip).  Comparable across builds of the SAME scene at the same
+    leaf_size: lower SAH has picked the measured-faster traversal hierarchy
+    on both the uniform (boxfield) and irregular (diningroom) workloads."""
+    from mcpt.bvh.metrics import C_INN, C_TRI
+
+    n = np.asarray(c.nodes)
+    d = np.maximum(n[:, 3:6] - n[:, 0:3], 0.0)
+    area = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+    n_internal = n.shape[0] // 2
+    total = C_INN * area[:n_internal].sum() + C_TRI * area[n_internal:].sum()
+    return float(total / max(area[0], 1e-30))
+
+
 def clusters_as_bvh(cl: ClusterBVH) -> BVH:
     """Top-level tree as a ``types.BVH`` over cluster boxes (for the quality
     metrics harness and structural tests)."""

@@ -342,13 +342,25 @@ def _traverse_jit(wnodes, tri16, origin, direction, active, limit,
                 pltpu.SMEM((STACK_CAP,), jnp.int32),
                 pltpu.SMEM((16,), jnp.int32),
             ],
+            # whole-array VMEM operands (triangle table ~6 MB + 7 ray planes
+            # + 5 outputs) exceed the default 16 MB scoped-vmem budget on
+            # NEE-heavy programs (two traverse calls per bounce) — raise the
+            # per-kernel cap; v5e VMEM comfortably holds it
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
             interpret=pltpu.InterpretParams() if interpret else False,
         )(sf, ox, oy, oz, dx, dy, dz, lim, wnodes, tri16)
 
     rays = (ox, oy, oz, dx, dy, dz, lim)
     # XLA's memory-space assignment keeps some custom-call operands/results in
-    # scoped VMEM; past ~1M rays that overflows the 16M scoped limit.  Bound it
-    # by mapping the call over ≤512k-ray segments (sequential, one compile).
+    # scoped VMEM; past ~1M rays that overflows the 16M scoped limit.  Bound
+    # it by slicing into ≤512k-ray segments with a STATIC python loop of
+    # sequential pallas calls — a lax.map/scan here stacks the segments into
+    # one (k, 4096, 128) array that memory-space assignment then ALSO places
+    # in scoped VMEM (16.8 MB at 3.7M rays), which aborts compilation on
+    # NEE-heavy programs ("Ran out of memory in memory space vmem ...
+    # scoped").  Static slices of HBM arrays don't get scoped.
     chunk_rows = 4096
     total_rows = ox.shape[0]
     if total_rows > chunk_rows:
@@ -360,8 +372,13 @@ def _traverse_jit(wnodes, tri16, origin, direction, active, limit,
                 for k, x in enumerate(rays)
             )
         k = rays[0].shape[0] // chunk_rows
-        rays = tuple(x.reshape(k, chunk_rows, 128) for x in rays)
-        t, i, nx, ny, nz = jax.lax.map(call, rays)
+        outs = [
+            call(tuple(x[j * chunk_rows:(j + 1) * chunk_rows] for x in rays))
+            for j in range(k)
+        ]
+        t, i, nx, ny, nz = (
+            jnp.concatenate(parts, axis=0) for parts in zip(*outs)
+        )
     else:
         t, i, nx, ny, nz = call(rays)
 

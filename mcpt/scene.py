@@ -135,11 +135,21 @@ def build_scene(loaded: LoadedObject, bvhtype: str = "hlbvh"):
         # block-coherent traversal over the clustered two-level BVH
         from mcpt.bvh import cluster as cluster_mod
 
-        # Morton chunks beat the SAH-subtree cut on the boxfield benchmark
-        # (16.1 vs 14.1 Mrays/s: full 32-row fill wins over tighter boxes);
-        # pass bvh=bvh here to pick the subtree cut for irregular scenes.
-        clusters = cluster_mod.build_clusters(
-            loaded.verts, np.asarray(geom.normals), loaded.mat_id
+        # Two candidate clusterings, picked by top-tree SAH (which predicts
+        # the measured winner on both workload shapes): fixed Morton chunks
+        # (full 32-row fill — wins on uniform scenes: boxfield 16.1 vs 14.1
+        # Mrays/s primary) vs the SAH-subtree cut of the per-triangle BVH
+        # (tighter boxes — wins on irregular interiors: diningroom 2.06 vs
+        # 1.69 Mrays/s end-to-end).
+        nrm = np.asarray(geom.normals)
+        c_morton = cluster_mod.build_clusters(loaded.verts, nrm,
+                                              loaded.mat_id)
+        c_cut = cluster_mod.build_clusters(loaded.verts, nrm, loaded.mat_id,
+                                           bvh=bvh)
+        clusters = (
+            c_morton
+            if cluster_mod.cluster_sah(c_morton)
+            <= cluster_mod.cluster_sah(c_cut) else c_cut
         )
     scene = Scene(
         geom=geom, materials=mats, bvh=bvh,
