@@ -41,10 +41,12 @@ class RenderOptions(NamedTuple):
     jitter: bool = True
     # Bounce-loop lowering.  "fori" (default) is a fixed-trip-count loop — the
     # reference's own scheduling (``OpenCLApp.cpp:69-72``).  "while" adds an
-    # any-alive early exit, a win when most paths die before max_depth — but the
-    # axon TPU backend in this environment miscompiles the data-dependent-cond
-    # While with the NEE body (verified: identical body under fori/scan/unroll is
-    # correct, under while_loop loses ~92% of NEE light), so "fori" stays default.
+    # any-alive early exit, a win when most paths die before max_depth.
+    # History: an earlier axon TPU backend miscompiled the data-dependent-cond
+    # While with the NEE body (same body under fori/scan/unroll correct, under
+    # while_loop lost ~92% of NEE light); re-verified 2026-08-17 on the current
+    # stack: while ≡ fori bit-exactly on quad-light, cbox+RR, and the
+    # clustered boxfield.  "fori" stays the default for reference parity.
     loop: str = "fori"
     # Stream compaction between bounces (SURVEY §7 step 5; the reference instead
     # early-returns dead work-items in-kernel, ``intersect.cl:16-18`` — on TPU
