@@ -8,8 +8,11 @@ every intersection test, BSDF sampling, and radiance accumulation happen
 without touching HBM until the final per-ray radiance writeout.  HBM traffic
 per ray drops from ~KB (wavefront) to 12 bytes.
 
-Scope: "small" scenes whose triangle + material tables fit VMEM (T ≤ ~4096 —
-covers cbox/veach-class scenes; large scenes use the wavefront + BVH path).
+Scope: scenes whose triangle + material tables fit VMEM — the measured
+engine crossover vs the wavefront pipeline is ~6k triangles (tools/render.py
+auto cap; larger scenes use the wavefront + cluster-BVH path).  ≤128 tris
+runs fully unrolled; past that, the chunk-unrolled fori tier over
+Morton-sorted rows with per-chunk AABB culling.
 Intersection uses the precomputed Wald transforms (``types.WaldTris``), the
 per-triangle loop is a `fori_loop` over VMEM scalar reads, and the bounce loop
 is a `while_loop` with a block-wide any-alive early exit — the TPU analogue of
