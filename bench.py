@@ -1,33 +1,67 @@
 #!/usr/bin/env python
 """Headline benchmarks: path-tracing throughput on one TPU chip.
 
-Three regimes, one JSON line each (the driver records the LAST line):
+Four regimes (the reference's three workload shapes + the large-BVH stress
+scene), one JSON line each, then ONE final summary line — the driver records
+the LAST line, so the summary carries every regime (the round-2 verdict's
+fix: the weakest regime must be visible in round-over-round tracking, like
+the reference printing every metric it measures, ``bvhtest.cpp:476-494``):
 
 1. ``boxfield`` — 108k-triangle large-BVH scene (the reference diningroom
-   workload shape, ``config.json:58-84``): wavefront pipeline + Pallas
-   block-coherent BVH traversal, depth 8, inter-bounce resort.
-2. ``veach_mis`` 768×512 depth 16 NEE+MIS (the reference veach workload
+   workload shape, ``config.json:58-84``), depth 8.
+2. ``diningroom`` — procedural interior ~96k tris, 1280×720 depth-8 NEE+MIS
+   (the reference's actual third workload, ``config.json:58-84``).
+3. ``veach_mis`` 768×512 depth 16 NEE+MIS (the reference veach workload
    shape, ``config.json:31-56``) — the megakernel's chunked fori tier.
-3. ``cbox`` 1024² depth 16 — the fused Pallas megakernel (VMEM-sized scene).
+4. ``cbox`` 1024² depth 16 — the fused Pallas megakernel (VMEM-sized scene).
 
-The reference publishes no numbers (BASELINE.md) — the self-established north
-star is ≥500 Mrays/s per chip on cbox 1024².  "Rays" counts *live* ray segments
-actually traced (closest-hit queries on live paths + NEE shadow rays), measured
-by the integrator itself, not the W·H·depth upper bound — dead lanes don't
-count.  ``vs_baseline`` is value / 500 Mrays/s (ratio vs. that target).
+The reference publishes no numbers (BASELINE.md).  Per-regime ``vs_baseline``:
+cbox is measured against the self-established ≥500 Mrays/s north star; the
+other regimes have no cross-workload target (ADVICE r2), so their ratio is
+against THIS REPO'S round-2 recorded value (README perf table) — i.e. it reads
+as round-over-round progress, ``1.0`` = no change since round 2.
 
-Each regime reports the MEDIAN over ``n_batches`` timed batches (the tunnelled
-chip varies ±10% run to run); every batch is forced to completion by a scalar
-readback.
+"Rays" counts *live* ray segments actually traced (closest-hit queries on live
+paths + NEE shadow rays), measured by the integrator itself, not the
+W·H·depth upper bound — dead lanes don't count.  Each regime reports the
+MEDIAN over ``n_batches`` timed batches (the tunnelled chip varies ±10% run to
+run); every batch is forced to completion by a scalar readback.
+
+MFU model (the summary's ``mfu_*`` keys): achieved useful FLOP/s over the
+*measured* f32 VPU FMA peak of the attached chip
+(``mcpt.runtime.measure_vpu_peak`` — a VMEM-resident FMA-chain kernel at
+~128 flop/byte, so it reads the vector units, not HBM).  Useful flops per
+segment are a static count of the work the estimator requires:
+
+- one Wald triangle test = 18 FMA + 1 div + ~8 cmp/select ≈ 44 VPU ops;
+- dense tiers test every (padded) triangle row per segment, so
+  ``flops/seg = 44·T_rows + 300`` (≈300 = shade: BSDF sample, ONB, RNG);
+- NEE adds a shadow-ray pass over the same rows + ~200 light-sampling ops,
+  counted on the shadow segments the integrator already reports.
+
+Exact for cbox (every row genuinely tested); an *upper bound* for veach (chunk
+AABB culling skips rows, so true useful-flops are lower — mfu_veach is
+optimistic by the measured skip rate).  The BVH regimes have no static model
+(data-dependent node pops), so no mfu is reported for them.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import statistics
 import sys
 import time
+
+# Round-2 recorded per-regime numbers (README perf table) — the
+# round-over-round denominators for regimes without an absolute target.
+R2_BASELINE = {"boxfield": 2.83, "diningroom": 2.06, "veach_mis": 36.4}
+NORTH_STAR_CBOX = 500.0
+
+# VPU ops per Wald triangle test (18 FMA + div + compares/selects).
+_FLOPS_WALD = 44.0
+_FLOPS_SHADE = 300.0
 
 
 def _enable_cache() -> None:
@@ -81,7 +115,8 @@ def _bench_cbox(n_batches: int = 6) -> dict:
         "metric": "cbox 1024x1024 depth-16 path tracing throughput",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 500.0, 3),
+        "vs_baseline": round(mrays / NORTH_STAR_CBOX, 3),
+        "_flops_per_seg": _FLOPS_WALD * mega.tri.shape[0] + _FLOPS_SHADE,
     }
 
 
@@ -122,32 +157,28 @@ def _bench_veach(n_batches: int = 5) -> dict:
         "metric": "veach_mis 768x512 depth-16 NEE+MIS throughput",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 500.0, 3),
+        "vs_baseline": round(mrays / R2_BASELINE["veach_mis"], 3),
+        # upper bound: chunk culling skips rows (see module docstring);
+        # shadow segments are included in the seg count already
+        "_flops_per_seg": _FLOPS_WALD * mega.tri.shape[0] + _FLOPS_SHADE,
     }
 
 
-def _bench_boxfield(n_batches: int = 5) -> dict:
+def _bench_large(scene, lights, cam, metric: str, baseline_key: str,
+                 width: int, height: int, max_depth: int, nee: bool,
+                 spp_per_batch: int, n_batches: int = 5) -> dict:
+    """Shared large-BVH end-to-end bench (wavefront + cluster kernel)."""
+    import functools
+
     import jax
+    import jax.numpy as jnp
 
     from mcpt.render import camera as camera_mod
     from mcpt.render import integrator as integ
     from mcpt.render.integrator import RenderOptions
-    from mcpt.scene import build_scene
-    from mcpt.scenes import boxfield
 
-    width, height = 1280, 720
-    max_depth = 8  # the reference diningroom workload depth (config.json:70)
-    spp_per_batch = 4
-
-    loaded, camcfg = boxfield(9000)  # 108k triangles
-    camcfg = dataclasses.replace(camcfg, resolution=(width, height))
-    scene, lights = build_scene(loaded)
-    cam = camera_mod.make_camera(camcfg)
-    opts = RenderOptions(max_depth=max_depth, method="auto", resort=True)
-
-    import functools
-
-    import jax.numpy as jnp
+    opts = RenderOptions(max_depth=max_depth, method="auto", resort=True,
+                         nee=nee, mis=nee)
 
     @functools.partial(jax.jit, static_argnames=())
     def step(key):
@@ -176,18 +207,93 @@ def _bench_boxfield(n_batches: int = 5) -> dict:
         rates.append(seg_f / (time.time() - t0))
     mrays = statistics.median(rates) / 1e6
     return {
-        "metric": "boxfield 108k-tri 1280x720 depth-8 BVH path tracing",
+        "metric": metric,
         "value": round(mrays, 2),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 500.0, 3),
+        "vs_baseline": round(mrays / R2_BASELINE[baseline_key], 3),
     }
+
+
+def _bench_boxfield(n_batches: int = 5) -> dict:
+    import dataclasses as dc
+
+    from mcpt.render import camera as camera_mod
+    from mcpt.scene import build_scene
+    from mcpt.scenes import boxfield
+
+    width, height = 1280, 720
+    loaded, camcfg = boxfield(9000)  # 108k triangles
+    camcfg = dc.replace(camcfg, resolution=(width, height))
+    scene, lights = build_scene(loaded)
+    cam = camera_mod.make_camera(camcfg)
+    return _bench_large(
+        scene, lights, cam,
+        metric="boxfield 108k-tri 1280x720 depth-8 BVH path tracing",
+        baseline_key="boxfield", width=width, height=height,
+        max_depth=8, nee=False, spp_per_batch=4, n_batches=n_batches,
+    )
+
+
+def _bench_diningroom(n_batches: int = 5) -> dict:
+    import dataclasses as dc
+
+    from mcpt.render import camera as camera_mod
+    from mcpt.scene import build_scene
+    from mcpt.scenes import diningroom
+
+    width, height = 1280, 720
+    loaded, camcfg = diningroom()
+    camcfg = dc.replace(camcfg, resolution=(width, height))
+    scene, lights = build_scene(loaded)
+    cam = camera_mod.make_camera(camcfg)
+    return _bench_large(
+        scene, lights, cam,
+        metric="diningroom 96k-tri 1280x720 depth-8 NEE+MIS path tracing",
+        baseline_key="diningroom", width=width, height=height,
+        max_depth=8, nee=True, spp_per_batch=4, n_batches=n_batches,
+    )
 
 
 def main() -> int:
     _enable_cache()
-    print(json.dumps(_bench_boxfield()), flush=True)
-    print(json.dumps(_bench_veach()), flush=True)
-    print(json.dumps(_bench_cbox()), flush=True)
+
+    from mcpt.runtime import measure_vpu_peak
+
+    vpu_peak = measure_vpu_peak()
+
+    results = {}
+    for name, fn in (
+        ("boxfield", _bench_boxfield),
+        ("diningroom", _bench_diningroom),
+        ("veach_mis", _bench_veach),
+        ("cbox", _bench_cbox),
+    ):
+        r = fn()
+        results[name] = r
+        pub = {k: v for k, v in r.items() if not k.startswith("_")}
+        print(json.dumps(pub), flush=True)
+
+    # final summary line (the one the driver records): every regime + MFU
+    vals = [results[k]["value"] for k in results]
+    ratios = [results[k]["vs_baseline"] for k in results]
+    geomean = math.exp(sum(math.log(max(v, 1e-9)) for v in vals) / len(vals))
+    geo_ratio = math.exp(
+        sum(math.log(max(v, 1e-9)) for v in ratios) / len(ratios)
+    )
+    summary = {
+        "metric": "all-regime throughput (geomean of "
+                  "boxfield/diningroom/veach/cbox Mrays/s)",
+        "value": round(geomean, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(geo_ratio, 3),
+        "vpu_peak_tflops": round(vpu_peak / 1e12, 2),
+    }
+    for k, r in results.items():
+        summary[k] = r["value"]
+        if "_flops_per_seg" in r:
+            mfu = r["value"] * 1e6 * r["_flops_per_seg"] / vpu_peak
+            summary[f"mfu_{k}"] = round(mfu, 3)
+    print(json.dumps(summary), flush=True)
     return 0
 
 

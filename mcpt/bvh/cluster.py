@@ -74,6 +74,41 @@ class ClusterBVH(NamedTuple):
         return self.tri16.shape[0]
 
 
+class ClusterPlan(NamedTuple):
+    """Cheap cluster-topology plan: enough to score a candidate clustering by
+    top-tree SAH (``plan_sah``) WITHOUT the expensive Wald-table build, so
+    ``build_scene`` can plan both candidates and materialize only the winner."""
+
+    nodes: np.ndarray  # (2C-1, 8) f32 binary top tree
+    order_p: np.ndarray  # (C·T,) int32 cluster-ordered triangle ids (padded)
+    valid: np.ndarray  # (C·T,) bool — False on padding rows
+
+
+def plan_clusters(
+    verts: np.ndarray,
+    leaf_size: int = DEFAULT_LEAF_SIZE,
+    bvh=None,
+    optimize_top: bool = True,
+) -> ClusterPlan:
+    """Topology-only half of ``build_clusters`` (see its docstring)."""
+    v = np.asarray(verts, np.float32).reshape(-1, 3, 3)
+    n = v.shape[0]
+    t = int(leaf_size)
+    tri_min = v.min(axis=1)
+    tri_max = v.max(axis=1)
+    if bvh is not None and n > 1:
+        nodes, order_p, valid = _cut_tree(bvh, n, t)
+    else:
+        nodes, order_p, valid = _morton_chunks(tri_min, tri_max, n, t,
+                                               optimize_top)
+    return ClusterPlan(nodes=nodes, order_p=order_p, valid=valid)
+
+
+def plan_sah(plan: ClusterPlan) -> float:
+    """Top-tree SAH of a plan (same definition as ``cluster_sah``)."""
+    return _nodes_sah(plan.nodes)
+
+
 def build_clusters(
     verts: np.ndarray,
     normals: np.ndarray,
@@ -81,6 +116,7 @@ def build_clusters(
     leaf_size: int = DEFAULT_LEAF_SIZE,
     bvh=None,
     optimize_top: bool = True,
+    plan: ClusterPlan | None = None,
 ) -> ClusterBVH:
     """Triangle soup → ClusterBVH (host build, like ``scene.build_wald``).
 
@@ -89,6 +125,7 @@ def build_clusters(
     boxes, and the top tree is the contraction of the same LBVH above the cut
     (so a treelet-optimized tree yields a better traversal hierarchy too).
     Without it, clusters are fixed Morton chunks (used by unit tests).
+    ``plan`` skips the topology stage (see ``plan_clusters``).
 
     Padding rows (clusters under ``leaf_size`` members) carry the never-hit
     Wald transform (A = 0, b = (0,0,1) ⇒ d'_w = 0 ⇒ t = -inf) so the kernel
@@ -97,16 +134,10 @@ def build_clusters(
     from mcpt.scene import build_wald
 
     v = np.asarray(verts, np.float32).reshape(-1, 3, 3)
-    n = v.shape[0]
     t = int(leaf_size)
-    tri_min = v.min(axis=1)
-    tri_max = v.max(axis=1)
-
-    if bvh is not None and n > 1:
-        nodes, order_p, valid = _cut_tree(bvh, n, t)
-    else:
-        nodes, order_p, valid = _morton_chunks(tri_min, tri_max, n, t,
-                                               optimize_top)
+    if plan is None:
+        plan = plan_clusters(verts, leaf_size, bvh, optimize_top)
+    nodes, order_p, valid = plan.nodes, plan.order_p, plan.valid
     c = order_p.shape[0] // t
 
     # cluster-ordered triangle rows (megakernel layout; see module docstring)
@@ -357,9 +388,12 @@ def cluster_sah(c: ClusterBVH) -> float:
     round trip).  Comparable across builds of the SAME scene at the same
     leaf_size: lower SAH has picked the measured-faster traversal hierarchy
     on both the uniform (boxfield) and irregular (diningroom) workloads."""
+    return _nodes_sah(np.asarray(c.nodes))
+
+
+def _nodes_sah(n: np.ndarray) -> float:
     from mcpt.bvh.metrics import C_INN, C_TRI
 
-    n = np.asarray(c.nodes)
     d = np.maximum(n[:, 3:6] - n[:, 0:3], 0.0)
     area = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
     n_internal = n.shape[0] // 2

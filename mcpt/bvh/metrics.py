@@ -22,6 +22,7 @@ comparable:
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -53,74 +54,85 @@ def sah(bvh) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _clip_areas(tris: np.ndarray, bbmin: np.ndarray, bbmax: np.ndarray):
-    """Vectorized Sutherland–Hodgman: area of each triangle clipped to its AABB.
+_CLIP_CAP = 10  # ≤ 3 + 6 vertices survive 6 plane clips; one spare
 
-    tris (P, 3, 3), bbmin/bbmax (P, 3) → (P,) clipped surface area.
-    Fixed-capacity polygon buffers (≤ 3 + 6 vertices after 6 plane clips).
-    """
-    p = tris.shape[0]
-    cap = 10
-    verts = np.zeros((p, cap, 3), np.float64)
-    verts[:, :3] = tris
-    count = np.full(p, 3, np.int64)
 
+def _clip_areas_jnp(tris, bmin, bmax):
+    """Vectorized Sutherland–Hodgman: area of each triangle clipped to its
+    AABB — tris (P, 3, 3), bmin/bmax (P, 3) → (P,).  Pure jnp (jit/TPU-safe),
+    shaped for a single CPU core: the polygon buffer *grows* one slot per
+    plane (3→9, a box clip adds ≤1 vertex per plane) instead of a fixed
+    worst-case cap, and there is no vertex-count bookkeeping — slots past the
+    polygon's end duplicate its first vertex, which the shoelace sum ignores.
+    Each plane's output ring is built with gathers keyed by an emission-rank
+    computation (output slot → source edge).  Same plane order and
+    crossing-parameter formula as the native walk (``mcpt_native.cpp``
+    clip_area ≙ reference ``ROUNDTR``, ``bvhtest.cpp:141-178``)."""
+    import jax.numpy as jnp
+
+    verts = tris  # (m, cap, 3); trailing slots duplicate a ring point
     for axis in range(3):
         for side in range(2):  # 0: keep ≥ bbmin, 1: keep ≤ bbmax
-            bound = (bbmin if side == 0 else bbmax)[:, axis]
-            v = verts[:, :, axis]
-            if side == 0:
-                inside = v >= bound[:, None]
-            else:
-                inside = v <= bound[:, None]
-            idx = np.arange(cap)[None, :]
-            valid = idx < count[:, None]
-            inside = inside & valid
-            nxt = idx + 1
-            nxt = np.where(nxt >= count[:, None], 0, nxt)
-            take = np.take_along_axis
-            v_next = take(verts, nxt[..., None].repeat(3, -1), axis=1)
-            in_next = take(inside, nxt, axis=1)
-
-            # each edge emits: current vertex (if inside) + crossing point (if
-            # edge crosses the plane)
-            denom = v_next[:, :, axis] - verts[:, :, axis]
-            t = np.where(
-                np.abs(denom) > 1e-30,
-                (bound[:, None] - verts[:, :, axis]) / np.where(denom == 0, 1, denom),
-                0.0,
-            )
+            cap = verts.shape[1]
+            ocap = min(cap + 1, 9)
+            bound = (bmin if side == 0 else bmax)[:, axis]
+            sgn = 1.0 if side == 0 else -1.0
+            da = sgn * (verts[:, :, axis] - bound[:, None])  # signed distance
+            # ring successor: slot s+1 cyclically (trailing duplicates keep
+            # this exact — the successor of the last slot is ring point 0)
+            v_next = jnp.concatenate([verts[:, 1:], verts[:, :1]], axis=1)
+            db = jnp.concatenate([da[:, 1:], da[:, :1]], axis=1)
+            in_a = da >= 0.0
+            keep = in_a  # edge emits its own vertex
+            crossing = in_a ^ (db >= 0.0)  # …plus the plane crossing
+            t = da / jnp.where(da == db, 1.0, da - db)
             cross_pt = verts + t[..., None] * (v_next - verts)
-            crossing = (inside ^ in_next) & valid
 
-            emit = inside.astype(np.int64) + crossing.astype(np.int64)
-            pos = np.cumsum(emit, axis=1) - emit  # start position per edge
-            out = np.zeros_like(verts)
-            new_count = emit.sum(axis=1)
-            # scatter current vertices
-            lane = np.arange(p)[:, None].repeat(cap, 1)
-            tgt = np.where(inside, pos, cap - 1)
-            safe = np.minimum(tgt, cap - 1)
-            mask_v = inside
-            out[lane[mask_v], safe[mask_v]] = verts[mask_v]
-            # scatter crossing points (after the vertex if it was emitted)
-            tgt2 = pos + inside.astype(np.int64)
-            tgt2 = np.minimum(np.where(crossing, tgt2, cap - 1), cap - 1)
-            out[lane[crossing], tgt2[crossing]] = cross_pt[crossing]
-            verts = out
-            count = new_count
+            emit = keep.astype(jnp.int32) + crossing.astype(jnp.int32)
+            starts = jnp.cumsum(emit, axis=1) - emit
+            ends = starts + emit
+            total = ends[:, -1]
+            # output slot s ← edge e(s) = #{j : ends[j] ≤ s} (the unique edge
+            # with starts[e] ≤ s < ends[e] while s < total)
+            s_vals = jnp.arange(ocap)
+            e = jnp.sum(
+                (ends[:, None, :] <= s_vals[None, :, None]).astype(jnp.int32),
+                axis=2,
+            )
+            e = jnp.minimum(e, cap - 1)
+            start_e = jnp.take_along_axis(starts, e, axis=1)
+            keep_e = jnp.take_along_axis(keep, e, axis=1)
+            crossing_e = jnp.take_along_axis(crossing, e, axis=1)
+            vert_e = jnp.take_along_axis(verts, e[..., None], axis=1)
+            cross_e = jnp.take_along_axis(cross_pt, e[..., None], axis=1)
+            is_vertex = keep_e & ((s_vals[None, :] == start_e) | ~crossing_e)
+            pick = jnp.where(is_vertex[..., None], vert_e, cross_e)
+            # slots past the end duplicate the first output point (keeps the
+            # ring closed; zero shoelace contribution)
+            out_valid = s_vals[None, :] < total[:, None]
+            verts = jnp.where(out_valid[..., None], pick, pick[:, 0:1])
 
-    # polygon area via the cross-product sum (planar polygon in 3D)
-    idx = np.arange(cap)[None, :]
-    valid = idx < count[:, None]
-    nxt = np.where(idx + 1 >= count[:, None], 0, idx + 1)
-    v_next = np.take_along_axis(verts, nxt[..., None].repeat(3, -1), axis=1)
+    # polygon area via the fan cross-product sum (planar polygon in 3D)
+    v_next = jnp.concatenate([verts[:, 1:], verts[:, :1]], axis=1)
     v0 = verts[:, :1]
-    cr = np.cross(verts - v0, v_next - v0)
-    cr = np.where(valid[..., None], cr, 0.0)
-    total = cr.sum(axis=1)
-    area = 0.5 * np.linalg.norm(total, axis=-1)
-    return np.where(count >= 3, area, 0.0)
+    cr = jnp.cross(verts - v0, v_next - v0)
+    tot = cr.sum(axis=1)
+    return 0.5 * jnp.sqrt(jnp.sum(tot * tot, axis=-1))
+
+
+def _clip_areas(tris: np.ndarray, bbmin: np.ndarray, bbmax: np.ndarray):
+    """Numpy facade over ``_clip_areas_jnp`` (f64, CPU) for host callers."""
+    import jax
+    import jax.numpy as jnp
+
+    with jax.enable_x64(), jax.default_device(jax.devices("cpu")[0]):
+        return np.asarray(
+            _clip_areas_jnp(
+                jnp.asarray(tris, jnp.float64),
+                jnp.asarray(bbmin, jnp.float64),
+                jnp.asarray(bbmax, jnp.float64),
+            )
+        )
 
 
 def tri_area(verts: np.ndarray) -> np.ndarray:
@@ -135,11 +147,19 @@ def epo(bvh, verts, chunk: int = 2048, use_native: str = "auto") -> float:
 
     Dispatches to the parallel C++ walk (``mcpt/native``, seconds for a
     100k-tri scene — the counterpart of the reference's GPU EPO kernel,
-    ``kernels/EPO.cl:133-197``) when available.  The numpy fallback is
-    batched: all leaves walk the tree together; at each step the frontier's
-    (triangle, node-AABB) clip areas are computed vectorized.  Ancestor nodes
-    are excluded via subtree leaf-ranges (Karras internal nodes cover
-    contiguous sorted-leaf ranges, so ancestry is an interval test)."""
+    ``kernels/EPO.cl:133-197``) when available.  The fallback is jitted and
+    two-phase: (1) a batched *walk* — ``chunk`` lanes traverse the tree in
+    lock-step, refilled from a host work queue every ``_EPO_SEG_STEPS`` steps
+    so total cost is ∝ Σ pops / chunk, emitting every live (leaf, node)
+    overlap pair; (2) dense batched Sutherland–Hodgman *clips* (f64) over
+    exactly those pairs.  The walk descends on AABB overlap instead of the
+    reference's clip-area test — a conservative superset whose extra subtrees
+    contribute exactly 0 (a child's clip region ⊆ its parent's), so the sum is
+    identical while the walk needs no geometry.  The overlap test itself runs
+    in f32 like the native/reference walk.  Ancestor nodes are excluded via
+    subtree leaf-ranges (Karras internal nodes cover contiguous sorted-leaf
+    ranges, so ancestry is an interval test).
+    """
     if use_native != "never":
         try:
             from mcpt import native
@@ -154,10 +174,10 @@ def epo(bvh, verts, chunk: int = 2048, use_native: str = "auto") -> float:
         except Exception:
             if use_native == "always":
                 raise
+    import jax
+
     left = np.asarray(bvh.left)
     right = np.asarray(bvh.right)
-    bbmin = np.asarray(bvh.bbmin, np.float64)
-    bbmax = np.asarray(bvh.bbmax, np.float64)
     v = np.asarray(verts, np.float64).reshape(-1, 3, 3)
     n = (left.shape[0] + 1) // 2
     if n == 1:
@@ -182,53 +202,235 @@ def epo(bvh, verts, chunk: int = 2048, use_native: str = "auto") -> float:
     tri_of_leaf = left[leaf_base:]
     tmin = v.min(axis=1)
     tmax = v.max(axis=1)
+    tri_n = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])  # unnormalized
 
-    total_epo = 0.0
-    for c0 in range(0, n, chunk):
-        c1 = min(n, c0 + chunk)
-        m = c1 - c0
-        pos = np.arange(c0, c1)
-        tri = tri_of_leaf[pos]
-        geo = v[tri]
-        gmin = tmin[tri]
-        gmax = tmax[tri]
+    # exact DFS stack bound: popping a node pushes its 2 children, so the
+    # stack never exceeds tree depth + 1 — size the lane stacks to that
+    # (the one-hot stack ops cost ∝ cap, so a tight cap is walk speed)
+    depth_max = 0
+    frontier = np.array([0], np.int64)
+    while frontier.size:
+        frontier = frontier[frontier < leaf_base]
+        if not frontier.size:
+            break
+        frontier = np.concatenate([left[frontier], right[frontier]])
+        depth_max += 1
+    stack_cap = min(max(depth_max + 2, 8), 4096)
 
-        stack = np.zeros((m, 64), np.int64)
-        sp = np.ones(m, np.int64)  # root pushed
-        while sp.max() > 0:
-            live = sp > 0
-            top = np.maximum(sp - 1, 0)
-            node = stack[np.arange(m), top]
-            sp = sp - live.astype(np.int64)
+    m = min(chunk, n)
+    gmin32 = tmin.astype(np.float32)
+    gmax32 = tmax.astype(np.float32)
+    # feed the queue biggest-AABB-first: scene-spanning triangles walk the
+    # whole tree serially (one lane, ~n_nodes pops) — starting them at t=0
+    # overlaps their long walks with everyone else's instead of leaving them
+    # as a lock-step tail
+    ext = (tmax - tmin)[tri_of_leaf]
+    queue = np.argsort(
+        -(ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+          + ext[:, 2] * ext[:, 0])
+    ).astype(np.int64)
+    pair_nodes: list = []
+    pair_tris: list = []
+    tri_area64 = tri_area(verts)
+    contained_epo = 0.0
+    with jax.default_device(jax.devices("cpu")[0]):
+        import jax.numpy as jnp
 
-            is_anc = (lo[node] <= pos) & (pos <= hi[node]) & live
-            # quick reject: triangle AABB vs node AABB
-            overlap = (
-                (gmin <= bbmax[node]).all(axis=1)
-                & (gmax >= bbmin[node]).all(axis=1)
-                & live
+        tree = (
+            jnp.asarray(bvh.bbmin, jnp.float32),
+            jnp.asarray(bvh.bbmax, jnp.float32),
+            jnp.asarray(left, jnp.int32),
+            jnp.asarray(right, jnp.int32),
+            jnp.asarray(lo, jnp.int32),
+            jnp.asarray(hi, jnp.int32),
+        )
+        # lane state (host mirrors; refilled from the queue between segments)
+        stack = np.zeros((m, stack_cap), np.int32)
+        sp = np.zeros(m, np.int32)
+        pos = np.zeros(m, np.int32)
+        gmin = np.zeros((m, 3), np.float32)
+        gmax = np.zeros((m, 3), np.float32)
+        lane_tri = np.zeros(m, np.int64)
+        nrm = np.zeros((m, 3), np.float32)
+        nv0 = np.zeros((m, 3), np.float32)
+        next_leaf = 0
+        seg = _get_epo_segment_jit(stack_cap)
+        while True:
+            done = sp == 0
+            take = min(int(done.sum()), n - next_leaf)
+            if take:
+                slots = np.nonzero(done)[0][:take]
+                new = queue[next_leaf : next_leaf + take]
+                tri = tri_of_leaf[new]
+                pos[slots] = new
+                lane_tri[slots] = tri
+                gmin[slots] = gmin32[tri]
+                gmax[slots] = gmax32[tri]
+                nrm[slots] = tri_n[tri]
+                nv0[slots] = v[tri, 0]
+                stack[slots, 0] = 0  # root pushed
+                sp[slots] = 1
+                next_leaf += take
+            if sp.max(initial=0) == 0 and next_leaf >= n:
+                break
+            out = seg(
+                *tree, jnp.asarray(stack), jnp.asarray(sp),
+                jnp.asarray(pos), jnp.asarray(gmin), jnp.asarray(gmax),
+                jnp.asarray(nrm), jnp.asarray(nv0),
             )
-            need_clip = overlap & ~is_anc
-            if need_clip.any():
-                ids = np.nonzero(need_clip)[0]
-                areas = _clip_areas(geo[ids], bbmin[node[ids]], bbmax[node[ids]])
-                w = np.where(node[ids] >= leaf_base, C_TRI, C_INN)
-                total_epo += float((areas * w).sum())
-                pos_clip = np.zeros(m, bool)
-                pos_clip[ids[areas > 0]] = True
-            else:
-                pos_clip = np.zeros(m, bool)
+            # np.array (copy): asarray of a jax array is a read-only view
+            stack, sp = np.array(out[0]), np.array(out[1])
+            code = np.asarray(out[3])
+            step_i, lane_i = np.nonzero(code)
+            if len(lane_i):
+                cc = code[step_i, lane_i]
+                full = cc == 2
+                nd_full = np.asarray(out[2])[step_i[full], lane_i[full]]
+                w_full = np.where(nd_full >= leaf_base, C_TRI, C_INN)
+                contained_epo += float(
+                    (w_full * tri_area64[lane_tri[lane_i[full]]]).sum()
+                )
+                part = ~full
+                if part.any():
+                    pair_nodes.append(
+                        np.asarray(out[2])[step_i[part], lane_i[part]]
+                    )
+                    pair_tris.append(lane_tri[lane_i[part]])
 
-            # descend: ancestors always; non-ancestors only with positive clip
-            # (reference TopDown, bvhtest.cpp:222-244)
-            descend = live & (node < leaf_base) & (is_anc | pos_clip)
-            for ch in (left, right):
-                idx = np.nonzero(descend)[0]
-                stack[idx, np.minimum(sp[idx], 63)] = ch[node[idx]]
-                sp[idx] += 1
+    total_epo = contained_epo
+    if pair_nodes:
+        nodes_all = np.concatenate(pair_nodes)
+        tris_all = np.concatenate(pair_tris)
+        bbmin64 = np.asarray(bvh.bbmin, np.float64)
+        bbmax64 = np.asarray(bvh.bbmax, np.float64)
+        w_all = np.where(nodes_all >= leaf_base, C_TRI, C_INN)
+        bs = 16384
+        with jax.enable_x64(), jax.default_device(jax.devices("cpu")[0]):
+            import jax.numpy as jnp
+
+            clip = _get_clip_batch_jit()
+            for i in range(0, len(nodes_all), bs):
+                nd = nodes_all[i : i + bs]
+                pad = bs - len(nd)
+                geo = np.zeros((bs, 3, 3), np.float64)
+                geo[: len(nd)] = v[tris_all[i : i + bs]]
+                bmn = np.zeros((bs, 3), np.float64)
+                bmx = np.zeros((bs, 3), np.float64)
+                bmn[: len(nd)] = bbmin64[nd]
+                bmx[: len(nd)] = bbmax64[nd]
+                w = np.zeros(bs, np.float64)
+                w[: len(nd)] = w_all[i : i + bs]
+                total_epo += float(
+                    clip(jnp.asarray(geo), jnp.asarray(bmn),
+                         jnp.asarray(bmx), jnp.asarray(w))
+                )
 
     total_area = float(tri_area(verts).sum())
     return total_epo / max(total_area, 1e-30)
+
+
+_EPO_SEG_STEPS = 512
+
+
+def _epo_segment(stack_cap, bbmin, bbmax, left, right, lo, hi, stack, sp,
+                 pos, gmin, gmax, nrm, nv0):
+    """Up to ``_EPO_SEG_STEPS`` steps of the batched EPO walk (see ``epo``):
+    every live lane pops one node per step.  Pure traversal — f32 AABB
+    overlap tests and one-hot stack ops (XLA CPU scatters serialize; the
+    dense select is ~100× cheaper).  Returns the advanced (stack, sp) plus
+    the per-step (node, need) emission buffers for the host's clip phase."""
+    import jax
+    import jax.numpy as jnp
+
+    n_nodes = left.shape[0]
+    leaf_base = (n_nodes + 1) // 2 - 1
+    m = pos.shape[0]
+    scol = jnp.arange(stack_cap)[None, :]  # (1, S)
+
+    def cond(st):
+        return (st[0] < _EPO_SEG_STEPS) & jnp.any(st[2] > 0)
+
+    def body(st):
+        it, stack, sp, nodes_out, need_out = st
+        live = sp > 0
+        top = jnp.maximum(sp - 1, 0)
+        node = jnp.sum(jnp.where(scol == top[:, None], stack, 0), axis=1)
+        node = jnp.where(live, node, 0)
+        sp = sp - live.astype(jnp.int32)
+
+        is_anc = (lo[node] <= pos) & (pos <= hi[node])
+        bmn = bbmin[node]
+        bmx = bbmax[node]
+        overlap = jnp.all((gmin <= bmx) & (gmax >= bmn), axis=1)
+        # triangle-plane vs box prefilter: a box strictly on one side of the
+        # leaf triangle's plane clips to zero area, and so does its whole
+        # subtree (child boxes ⊆ parent box) — prune it.  Small conservative
+        # margin absorbs the f32 rounding.
+        # sd = n·(c − v0), translated BEFORE multiplying: the n·c − n·v0
+        # form cancels catastrophically in f32 for boxes touching the plane
+        # far from the origin (cost: a 0.5% EPO deficit on boxfield)
+        sd = jnp.sum(nrm * (0.5 * (bmn + bmx) - nv0), axis=1)
+        rd = 0.5 * jnp.sum(jnp.abs(nrm) * (bmx - bmn), axis=1)
+        overlap = overlap & (jnp.abs(sd) <= rd + 1e-4 * (rd + jnp.abs(sd)))
+        need = live & overlap & ~is_anc
+        # emission code 2: the node box CONTAINS the triangle's AABB, so the
+        # clip is the full triangle — the host adds w·area(tri) directly and
+        # skips the Sutherland–Hodgman batch for these pairs entirely
+        contained = jnp.all((gmin >= bmn) & (gmax <= bmx), axis=1)
+        code = jnp.where(
+            need, jnp.where(contained, jnp.int8(2), jnp.int8(1)), jnp.int8(0)
+        )
+        nodes_out = jax.lax.dynamic_update_slice(
+            nodes_out, node[None, :], (it, 0)
+        )
+        need_out = jax.lax.dynamic_update_slice(
+            need_out, code[None, :], (it, 0)
+        )
+
+        # descend: ancestors always; non-ancestors on AABB overlap (a
+        # conservative form of the reference's positive-clip rule,
+        # bvhtest.cpp:222-244 — extra subtrees clip to zero area)
+        descend = live & (node < leaf_base) & (is_anc | overlap)
+        for ch in (right, left):
+            slot = jnp.minimum(sp, stack_cap - 1)
+            stack = jnp.where(
+                (scol == slot[:, None]) & descend[:, None],
+                ch[node][:, None], stack,
+            )
+            sp = sp + descend.astype(jnp.int32)
+        return it + 1, stack, sp, nodes_out, need_out
+
+    init = (
+        jnp.int32(0), stack, sp,
+        jnp.zeros((_EPO_SEG_STEPS, m), jnp.int32),
+        jnp.zeros((_EPO_SEG_STEPS, m), jnp.int8),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return out[1], out[2], out[3], out[4]
+
+
+def _clip_batch(geo, bmn, bmx, w):
+    """Σ w·clip_area over one dense batch of (leaf-triangle, node-box) pairs."""
+    import jax.numpy as jnp
+
+    return jnp.sum(_clip_areas_jnp(geo, bmn, bmx) * w)
+
+
+@functools.lru_cache(maxsize=1)
+def _get_clip_batch_jit():
+    import jax
+
+    return jax.jit(_clip_batch)
+
+
+@functools.lru_cache(maxsize=4)
+def _get_epo_segment_jit(stack_cap):
+    import functools as ft
+
+    import jax
+
+    return jax.jit(ft.partial(_epo_segment, stack_cap))
+
 
 
 # ---------------------------------------------------------------------------

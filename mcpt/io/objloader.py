@@ -193,3 +193,57 @@ def load_object(directory: str, objname: str,
         ni=ni,
         mat_names=[r.name for r in raw_mats],
     )
+
+
+def write_object(loaded: LoadedObject, directory: str, objname: str) -> str:
+    """Write a ``LoadedObject`` as an indexed ``.obj`` + ``.mtl`` pair.
+
+    Inverse of ``load_object`` for the subset the reference consumes
+    (``thirdpartywrapper.cpp:25-99``): shared-vertex indexing (positions are
+    deduplicated exactly, so a round trip reproduces ``verts`` bit-for-bit),
+    per-face ``usemtl`` runs, and ``.mtl`` fields emitted so the 4-way
+    material classification reconstructs ``mtype/kd/ks/ka/ns/ni`` unchanged.
+    Used to exercise reference-scale file ingestion (100k-tri scenes) through
+    both loaders.  Returns the ``.obj`` path.
+    """
+    os.makedirs(directory, exist_ok=True)
+    stem = objname[:-4] if objname.endswith(".obj") else objname
+    obj_path = os.path.join(directory, stem + ".obj")
+    mtl_name = stem + ".mtl"
+
+    m = len(loaded.mtype)
+    names = list(loaded.mat_names) or [f"m{i}" for i in range(m)]
+    with open(os.path.join(directory, mtl_name), "w", encoding="utf-8") as f:
+        for i in range(m):
+            f.write(f"newmtl {names[i]}\n")
+            t = int(loaded.mtype[i])
+            if t == types.TRANSPARENT:
+                f.write(f"Ni {float(loaded.ni[i])!r}\n")
+            elif t == types.LIGHT:
+                ka = loaded.ka[i]
+                f.write(f"Ka {float(ka[0])!r} {float(ka[1])!r} {float(ka[2])!r}\n")
+            elif t == types.GLOSSY:
+                kd, ks = loaded.kd[i], loaded.ks[i]
+                f.write(f"Kd {float(kd[0])!r} {float(kd[1])!r} {float(kd[2])!r}\n")
+                f.write(f"Ks {float(ks[0])!r} {float(ks[1])!r} {float(ks[2])!r}\n")
+                f.write(f"Ns {float(loaded.ns[i])!r}\n")
+            else:
+                kd = loaded.kd[i]
+                f.write(f"Kd {float(kd[0])!r} {float(kd[1])!r} {float(kd[2])!r}\n")
+
+    flat = np.asarray(loaded.verts, np.float32).reshape(-1, 3)
+    uniq, inverse = np.unique(flat, axis=0, return_inverse=True)
+    faces = inverse.reshape(-1, 3) + 1  # .obj is 1-based
+    mat_id = np.asarray(loaded.mat_id).reshape(-1)
+    with open(obj_path, "w", encoding="utf-8") as f:
+        f.write(f"mtllib {mtl_name}\n")
+        for v in uniq:
+            f.write(f"v {float(v[0])!r} {float(v[1])!r} {float(v[2])!r}\n")
+        cur = None
+        for i in range(faces.shape[0]):
+            mi = int(mat_id[i])
+            if mi != cur and 0 <= mi < m:
+                f.write(f"usemtl {names[mi]}\n")
+                cur = mi
+            f.write(f"f {faces[i, 0]} {faces[i, 1]} {faces[i, 2]}\n")
+    return obj_path

@@ -1,0 +1,442 @@
+"""Pallas TPU cluster megakernel: the full path-trace loop fused with
+block-coherent BVH traversal — the large-scene engine.
+
+Round-2's large-scene pipeline ran one ``pallas_call`` per bounce (cluster
+traversal), shaded at the XLA level, and re-sorted the multi-million-ray pool
+between bounces (``mcpt/render/integrator.py``) — every bounce round-tripped
+the whole ray state through HBM, the exact structure whose removal took the
+small-scene megakernel from 20.9 to 808 Mrays/s.  This engine applies the
+same fusion to the cluster-BVH path: a block of ``SUBT``×128 rays lives in
+VMEM for its entire lifetime — camera generation, every *tree-walk*
+intersection (the block-coherent shared-stack traversal of
+``mcpt.pallas.traverse_kernel``), BSDF sampling, NEE shadow walks, Russian
+roulette, and in-kernel path regeneration — with HBM touched only for the
+final per-lane radiance writeout.
+
+The shading/estimator half *is* the megakernel's (``megakernel._render_body``
+with this module's tree-walk intersectors plugged in), so the two engines
+compute the same estimator by construction; the traversal half is the proven
+cluster walk (closest-hit + any-hit) with material-id resolution folded into
+the leaf loop (a TPU lane cannot gather its own triangle row, so normals and
+material ids are where-selected during the 32-row cluster test).
+
+Reference counterparts: the per-frame loop being fused is
+``OpenCLApp.cpp:57-82`` (raygen → MAXDEPTH × {intersect, shade}); the
+traversal inside it is ``objdef.h:240-275``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mcpt import types as T
+from mcpt.bvh.cluster import ClusterBVH
+from mcpt.pallas import megakernel as mk
+from mcpt.pallas.traverse_kernel import STACK_CAP, SUBT, _slab_scalars
+
+BLKT = SUBT * 128
+
+_BIG = 3.0e38
+
+
+class ClusterMegaScene(NamedTuple):
+    """Device tables for the fused cluster engine (built once per scene)."""
+
+    wnodes: jnp.ndarray  # (Nw, 64) f32 — 8-wide top tree (ClusterBVH.wnodes)
+    tri16: jnp.ndarray  # (C·T, 16) f32 — cluster-ordered triangle rows
+    matt: jnp.ndarray  # (M, 16) f32 — material constants
+    lit: jnp.ndarray  # (L, 16) f32 — NEE light table
+    n_clusters: int
+    leaf_size: int
+    n_mats: int
+    n_lights: int
+    eps: float
+    total_light_area: float
+
+
+def build_cluster_megascene(scene: T.Scene, lights=None) -> ClusterMegaScene:
+    """Scene (with ``scene.clusters`` built) → fused-engine tables."""
+    cl: ClusterBVH = scene.clusters
+    assert cl is not None, "scene has no cluster BVH (build_scene builds one)"
+    matt = mk.pack_materials(scene.materials)
+    lit, n_lights, total_area = mk.pack_lights(scene, lights)
+    return ClusterMegaScene(
+        wnodes=cl.wnodes,
+        tri16=cl.tri16,
+        matt=jnp.asarray(matt),
+        lit=jnp.asarray(lit),
+        n_clusters=cl.n_clusters,
+        leaf_size=cl.leaf_size,
+        n_mats=matt.shape[0],
+        n_lights=n_lights,
+        eps=float(scene.eps),
+        total_light_area=total_area,
+    )
+
+
+def _make_cluster_intersectors(n_wide, n_clusters, leaf_size, nodes_ref,
+                               tri_ref, t_ref, nx_ref, ny_ref, nz_ref,
+                               mid_ref, stack_ref, flag_ref, zeros, row, col,
+                               t_min):
+    """Tree-walk intersectors satisfying ``_render_body``'s contract.
+
+    One shared scalar stack per ray block (SMEM); per-lane best state lives
+    in VMEM scratch refs mutated by the leaf branch so the walk's while-loop
+    carry stays two scalars.  Structure is ``traverse_kernel``'s walk with
+    the material id joining the in-leaf selects.
+    """
+
+    def walk(qx, qy, qz, dx, dy, dz, lim, act, any_hit):
+        # inactive lanes carry a poisoned origin: the slab test can never
+        # pass, so they add nothing to the block's traversal union
+        ox = jnp.where(act > 0.0, qx, 2.0e38)
+        oy = qy
+        oz = qz
+
+        tiny = 1e-30
+        ix = 1.0 / jnp.where(jnp.abs(dx) < tiny,
+                             jnp.where(dx < 0.0, -tiny, tiny), dx)
+        iy = 1.0 / jnp.where(jnp.abs(dy) < tiny,
+                             jnp.where(dy < 0.0, -tiny, tiny), dy)
+        iz = 1.0 / jnp.where(jnp.abs(dz) < tiny,
+                             jnp.where(dz < 0.0, -tiny, tiny), dz)
+
+        # block mean direction → scalar near/far ordering keys
+        live = (ox < 1.0e38).astype(jnp.float32)
+        mx = jnp.sum(dx * live)
+        my = jnp.sum(dy * live)
+        mz = jnp.sum(dz * live)
+        o_idx = ((mx > 0.0).astype(jnp.int32)
+                 + 2 * (my > 0.0).astype(jnp.int32)
+                 + 4 * (mz > 0.0).astype(jnp.int32))
+
+        t_ref[:] = zeros + (0.0 if any_hit else _BIG)
+        if not any_hit:
+            nx_ref[:] = zeros
+            ny_ref[:] = zeros
+            nz_ref[:] = zeros
+            mid_ref[:] = zeros
+
+        stack_ref[0] = jnp.int32(0)
+
+        def cond(c):
+            sp, done = c
+            return (sp > 0) & (done == 0)
+
+        def body(c):
+            sp, done = c
+            sp = sp - 1
+            node = stack_ref[sp]
+            is_leaf = node >= n_wide
+
+            for j in range(8):
+                flag_ref[8 + j] = jnp.int32(0)
+
+            @pl.when(jnp.logical_not(is_leaf))
+            def _internal():
+                nc = jnp.clip(node, 0, n_wide - 1)
+                cur = t_ref[:]
+                if any_hit:
+                    prune = jnp.where(cur < 0.5, lim, -_BIG)
+                else:
+                    prune = cur
+                # all 8 child hit masks pack into ONE int32 bitmask per lane,
+                # OR-reduced across the block with a roll tree (one
+                # vector→scalar round trip per pop)
+                enc_k = []
+                m = None
+                for k in range(8):
+                    bx0 = nodes_ref[nc, 6 * k + 0]
+                    by0 = nodes_ref[nc, 6 * k + 1]
+                    bz0 = nodes_ref[nc, 6 * k + 2]
+                    bx1 = nodes_ref[nc, 6 * k + 3]
+                    by1 = nodes_ref[nc, 6 * k + 4]
+                    bz1 = nodes_ref[nc, 6 * k + 5]
+                    h = _slab_scalars(bx0, by0, bz0, bx1, by1, bz1,
+                                      ox, oy, oz, ix, iy, iz, prune)
+                    hk = h.astype(jnp.int32) << k
+                    m = hk if m is None else m | hk
+                    enc_k.append(nodes_ref[nc, 48 + k].astype(jnp.int32))
+                s_ = 1
+                while s_ < 128:  # OR over lanes
+                    m = m | pltpu.roll(m, s_, axis=1)
+                    s_ *= 2
+                s_ = 1
+                while s_ < SUBT:  # OR over sublanes
+                    m = m | pltpu.roll(m, s_, axis=0)
+                    s_ *= 2
+                bits = jnp.max(m)
+                any_k = [
+                    (jax.lax.shift_right_logical(bits, k) & 1) > 0
+                    for k in range(8)
+                ]
+
+                # far-to-near child order for this block's octant
+                code = nodes_ref[nc, 56].astype(jnp.int32)
+                for o in range(1, 8):
+                    code = jnp.where(
+                        o_idx == o, nodes_ref[nc, 56 + o].astype(jnp.int32),
+                        code,
+                    )
+                gate = jnp.logical_not(is_leaf)
+                for j in range(8):
+                    kj = jax.lax.shift_right_logical(code, 3 * j) & 7
+                    e = enc_k[0]
+                    a = any_k[0]
+                    for k in range(1, 8):
+                        sel = kj == k
+                        e = jnp.where(sel, enc_k[k], e)
+                        a = jnp.where(sel, any_k[k], a)
+                    flag_ref[j] = e
+                    flag_ref[8 + j] = (a & gate).astype(jnp.int32)
+
+            @pl.when(is_leaf)
+            def _leaf():
+                leaf_gate = is_leaf
+                cl_id = jnp.clip(node - n_wide, 0, n_clusters - 1)
+                base = cl_id * leaf_size
+                gf = leaf_gate.astype(jnp.float32)
+                glim = lim * gf - _BIG * (1.0 - gf)  # mispredicated: no hits
+                bt = t_ref[:]
+                if not any_hit:
+                    ax_ = nx_ref[:]
+                    ay_ = ny_ref[:]
+                    az_ = nz_ref[:]
+                    am_ = mid_ref[:]
+                for j in range(leaf_size):
+                    r_ = base + j
+                    a00 = tri_ref[r_, 0]
+                    a01 = tri_ref[r_, 1]
+                    a02 = tri_ref[r_, 2]
+                    a10 = tri_ref[r_, 3]
+                    a11 = tri_ref[r_, 4]
+                    a12 = tri_ref[r_, 5]
+                    a20 = tri_ref[r_, 6]
+                    a21 = tri_ref[r_, 7]
+                    a22 = tri_ref[r_, 8]
+                    b0 = tri_ref[r_, 9]
+                    b1 = tri_ref[r_, 10]
+                    b2 = tri_ref[r_, 11]
+                    opz = a20 * ox + a21 * oy + a22 * oz + b2
+                    dpz = a20 * dx + a21 * dy + a22 * dz
+                    th = -opz / dpz
+                    opx = a00 * ox + a01 * oy + a02 * oz + b0
+                    dpx = a00 * dx + a01 * dy + a02 * dz
+                    u = opx + th * dpx
+                    opy = a10 * ox + a11 * oy + a12 * oz + b1
+                    dpy = a10 * dx + a11 * dy + a12 * dz
+                    v = opy + th * dpy
+                    if any_hit:
+                        ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                              & (th > t_min) & (th < glim))
+                        bt = jnp.maximum(bt, ok.astype(jnp.float32))
+                    else:
+                        ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                              & (th > t_min) & (th < jnp.minimum(bt, glim)))
+                        bt = jnp.where(ok, th, bt)
+                        ax_ = jnp.where(ok, tri_ref[r_, 12], ax_)
+                        ay_ = jnp.where(ok, tri_ref[r_, 13], ay_)
+                        az_ = jnp.where(ok, tri_ref[r_, 14], az_)
+                        am_ = jnp.where(ok, tri_ref[r_, 15], am_)
+                t_ref[:] = bt
+                if not any_hit:
+                    nx_ref[:] = ax_
+                    ny_ref[:] = ay_
+                    nz_ref[:] = az_
+                    mid_ref[:] = am_
+
+            for j in range(8):
+                stack_ref[jnp.minimum(sp, STACK_CAP - 1)] = flag_ref[j]
+                sp = sp + flag_ref[8 + j]
+
+            if any_hit:
+                done = jnp.where(
+                    is_leaf,
+                    1 - jnp.any((t_ref[:] < 0.5) & (live > 0.5)).astype(
+                        jnp.int32),
+                    done,
+                )
+            return sp, done
+
+        jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
+
+    big = zeros + _BIG
+
+    def closest(ox, oy, oz, dx, dy, dz, alive):
+        walk(ox, oy, oz, dx, dy, dz, big, alive, any_hit=False)
+        return t_ref[:], nx_ref[:], ny_ref[:], nz_ref[:], mid_ref[:]
+
+    def occluded(sox, soy, soz, iwx, iwy, iwz, limit, cand):
+        walk(sox, soy, soz, iwx, iwy, iwz, limit,
+             cand.astype(jnp.float32), any_hit=True)
+        return t_ref[:]
+
+    return closest, occluded
+
+
+def _make_cluster_kernel(n_wide, n_clusters, leaf_size, static_mats, use_nee,
+                         use_mis, static_lights, regen):
+    def kernel(si_ref, sf_ref, nodes_ref, tri_ref, matt_ref, lit_ref,
+               pix_ref, r_ref, g_ref, b_ref, seg_ref, t_s, nx_s, ny_s, nz_s,
+               mid_s, stack_s, flag_s):
+        make = functools.partial(
+            _make_cluster_intersectors, n_wide, n_clusters, leaf_size,
+            nodes_ref, tri_ref, t_s, nx_s, ny_s, nz_s, mid_s, stack_s,
+            flag_s,
+        )
+        return mk._render_body(
+            static_mats, use_nee, use_mis, static_lights, regen, SUBT, make,
+            lambda: pix_ref[:], si_ref, sf_ref, matt_ref, lit_ref, r_ref,
+            g_ref, b_ref, seg_ref,
+        )
+
+    return kernel
+
+
+def render_cluster_mega(cms: ClusterMegaScene, cam: T.Camera, width: int,
+                        height: int, spp: int, seed, max_depth: int = 8,
+                        rr: bool = False, rr_start: int = 3,
+                        nee: bool = False, mis: bool = False,
+                        clamp: float = 0.0, t_min: float = 1e-4,
+                        interpret: bool | None = None,
+                        schedule: str = "auto"):
+    """Render ``spp`` samples → ((W·H, 3) radiance sum, segments traced).
+
+    Same contract and schedules as ``megakernel.render_mega`` (``"regen"`` —
+    one lane per pixel with in-kernel next-sample restart; ``"batch"`` — one
+    lane per (sample, pixel)).  Lanes are assigned pixels in square-tile
+    order (``camera.tile_order``) so each traversal block walks a compact
+    node union; radiance is returned in pixel order.
+    """
+    from mcpt.render.camera import tile_order
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if schedule == "auto":
+        schedule = "regen" if spp > 1 and mk._BOUNCE_LOOP == "while" else "batch"
+    if schedule == "regen" and mk._BOUNCE_LOOP != "while":
+        raise RuntimeError(
+            "schedule='regen' needs data-dependent while_loop support "
+            f"(_BOUNCE_LOOP={mk._BOUNCE_LOOP!r}); use schedule='batch'"
+        )
+    assert schedule in ("regen", "batch"), schedule
+
+    perm, inv_perm = tile_order(width, height, block=BLKT)
+    pix = jnp.asarray(perm)
+    radiance_perm, segs = _render_cluster_jit(
+        cms.wnodes, cms.tri16, cms.matt, cms.lit, pix, cam, width, height,
+        spp, seed, max_depth, rr, rr_start, nee and cms.n_lights > 0, mis,
+        clamp, t_min, interpret, cms.n_clusters, cms.leaf_size, cms.n_mats,
+        cms.n_lights, cms.eps, cms.total_light_area, schedule == "regen",
+    )
+    return radiance_perm[jnp.asarray(inv_perm)], segs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "rr", "rr_start",
+                     "nee", "mis", "clamp", "t_min", "interpret",
+                     "n_clusters", "leaf_size", "n_mats", "n_lights", "eps",
+                     "total_light_area", "regen"),
+)
+def _render_cluster_jit(wnodes, tri16, matt, lit, pix, cam, width, height,
+                        spp, seed, max_depth, rr, rr_start, nee, mis, clamp,
+                        t_min, interpret, n_clusters, leaf_size, n_mats,
+                        n_lights, eps, total_light_area, regen=False):
+    n_wide = wnodes.shape[0]
+    n_pixels = width * height
+    n_rays = n_pixels if regen else n_pixels * spp
+    n_blocks = (n_rays + BLKT - 1) // BLKT
+
+    si = jnp.array(
+        [width, height, 0, max_depth, 0, int(rr), rr_start, n_pixels,
+         n_mats, n_lights, 0, n_pixels, spp],
+        jnp.int32,
+    )
+    si = si.at[4].set(jnp.asarray(seed, jnp.int32))
+    sf = jnp.concatenate(
+        [
+            cam.position.reshape(3),
+            cam.forward.reshape(3),
+            cam.right.reshape(3),
+            cam.up.reshape(3),
+            jnp.stack(
+                [
+                    cam.half_width.reshape(()),
+                    cam.half_height.reshape(()),
+                    jnp.float32(eps),
+                    jnp.float32(t_min),
+                ]
+            ),
+            jnp.asarray([total_light_area], jnp.float32),
+            cam.is_ortho.reshape(1),
+            jnp.asarray([clamp], jnp.float32),
+        ]
+    ).astype(jnp.float32)
+
+    # per-lane pixel ids, tile order, sample-major; pad lanes duplicate the
+    # last tile's pixels (coherent, and their radiance is sliced off below)
+    pix_full = pix if regen else jnp.tile(pix, spp)
+    pad = n_blocks * BLKT - n_rays
+    pix_full = jnp.pad(pix_full, (0, pad), mode="edge").reshape(
+        n_blocks * SUBT, 128
+    )
+
+    grid = (n_blocks,)
+    lane_spec = pl.BlockSpec((SUBT, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((n_blocks * SUBT, 128), jnp.float32)
+        for _ in range(4)
+    ]
+    r, g, b, segs = pl.pallas_call(
+        _make_cluster_kernel(n_wide, n_clusters, leaf_size,
+                             n_mats if n_mats <= 64 else None, nee, mis,
+                             n_lights, regen),
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            lane_spec,
+        ],
+        out_specs=[lane_spec] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((SUBT, 128), jnp.float32),  # best t / occlusion
+            pltpu.VMEM((SUBT, 128), jnp.float32),  # normal x
+            pltpu.VMEM((SUBT, 128), jnp.float32),  # normal y
+            pltpu.VMEM((SUBT, 128), jnp.float32),  # normal z
+            pltpu.VMEM((SUBT, 128), jnp.float32),  # material id
+            pltpu.SMEM((STACK_CAP,), jnp.int32),
+            pltpu.SMEM((16,), jnp.int32),
+        ],
+        # whole-array VMEM operands (triangle table ~7 MB at 108k tris)
+        # exceed the default 16 MB scoped budget — raise the per-kernel cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(si, sf, wnodes, tri16, matt, lit, pix_full)
+
+    rad = jnp.stack(
+        [r.reshape(-1)[:n_rays], g.reshape(-1)[:n_rays],
+         b.reshape(-1)[:n_rays]],
+        axis=-1,
+    )
+    if regen:
+        radiance = rad  # each lane already accumulated all spp samples
+    else:
+        radiance = rad.reshape(spp, n_pixels, 3).sum(axis=0)
+    segments = jnp.sum(segs.reshape(-1)[:n_rays])
+    return radiance, segments

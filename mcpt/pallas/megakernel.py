@@ -140,155 +140,30 @@ def _make_render_kernel(static_tris: int | None, static_mats: int | None,
                         regen: bool, n_tris_pad: int):
     def kernel(si_ref, sf_ref, tri_ref, matt_ref, lit_ref, cb_ref, r_ref,
                g_ref, b_ref, seg_ref, bt_ref, bi_ref, occ_ref):
-        return _render_body(static_tris, static_mats, use_nee, use_mis,
-                            static_lights, regen, n_tris_pad, si_ref, sf_ref,
-                            tri_ref, matt_ref, lit_ref, cb_ref, r_ref, g_ref,
-                            b_ref, seg_ref, bt_ref, bi_ref, occ_ref)
+        make = functools.partial(
+            _make_tri_intersectors, static_tris, n_tris_pad, tri_ref, cb_ref,
+            bt_ref, bi_ref, occ_ref,
+        )
+        return _render_body(static_mats, use_nee, use_mis, static_lights,
+                            regen, SUB, make, None, si_ref, sf_ref, matt_ref,
+                            lit_ref, r_ref, g_ref, b_ref, seg_ref)
 
     return kernel
 
 
-def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
-                 regen, n_tris_pad, si_ref, sf_ref, tri_ref, matt_ref,
-                 lit_ref, cb_ref, r_ref, g_ref, b_ref, seg_ref, bt_ref,
-                 bi_ref, occ_ref):
-    """One block of BLK rays, full path trace.
-
-    ``regen=False`` (batch schedule): one lane per (sample, pixel); a lane
-    whose path terminates idles until its whole block retires — average live
-    occupancy over a depth-16 cbox run is ~41%.
-
-    ``regen=True`` (path regeneration): one lane per *pixel*; the moment a
-    lane's path terminates it generates the NEXT sample's camera ray in place
-    (per-lane depth + sample counters), so lanes stay ~fully occupied until
-    the block's final samples drain.  This is the TPU megakernel answer to
-    the dead-lane waste the reference sidesteps with per-work-item early
-    return (``intersect.cl:16-18``) — no repack pass, no atomics: a lane's
-    pixel never changes, so its radiance accumulator is already the per-pixel
-    sample sum the host wants.
-
-    si_ref (SMEM i32): 0 width, 1 height, 2 n_tris, 3 max_depth, 4 seed,
-                       5 rr_enabled, 6 rr_start_depth, 7 n_pixels (this
-                       shard's slice length), 8 n_mats, 9 n_lights,
-                       10 pixel_base (first pixel id of the slice — 0 and
-                       W·H single-chip; a mesh pixel shard passes its own),
-                       11 total pixels (W·H — makes the per-lane RNG counter
-                       globally unique across pixel shards),
-                       12 spp (samples per lane; used when regen)
-    sf_ref (SMEM f32): 0:3 cam pos, 3:6 fwd, 6:9 right, 9:12 up,
-                       12 half_w, 13 half_h, 14 eps, 15 t_min,
-                       16 total light area
-    lit_ref (VMEM, L_pad×16): per emissive triangle — 0:3 v0, 3:6 e1, 6:9 e2,
-                       9:12 emission, 12:15 unit normal, 15 area CDF
-    """
-    blk = pl.program_id(0)
-    width = si_ref[0]
-    n_tris = si_ref[2]
-    max_depth = si_ref[3]
-    seed = si_ref[4]
-
+def _make_tri_intersectors(static_tris, n_tris_pad, tri_ref, cb_ref, bt_ref,
+                           bi_ref, occ_ref, zeros, row, col, t_min):
+    """The megakernel's dense triangle-table intersectors (see
+    ``_render_body``'s ``make_intersectors`` contract): a fully-unrolled tier
+    for ≤``UNROLL_MAX_TRIS`` scenes, else chunk-unrolled fori loops over
+    Morton-sorted rows with per-chunk AABB culling.  The cluster-BVH engine
+    (``mcpt.pallas.cluster_megakernel``) plugs a tree walk into the same
+    contract instead."""
     # hoisted loop-invariant per-triangle scalars (unrolled specialization)
     if static_tris is not None:
         tri_c = [[tri_ref[t, j] for j in range(16)] for t in range(static_tris)]
-    if static_mats is not None:
-        mat_c = [[matt_ref[m, j] for j in range(12)] for m in range(static_mats)]
-    unroll_lights = use_nee and static_lights <= 16
-    if unroll_lights:
-        lit_c = [[lit_ref[t, j] for j in range(16)]
-                 for t in range(static_lights)]
-    if use_nee:
-        area_l = sf_ref[16]
 
-    n_pixels = si_ref[7]
-    row = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
-    ray_idx = blk * BLK + row * 128 + col
-    pixel = si_ref[10] + jax.lax.rem(ray_idx, n_pixels)
-    pxi = jax.lax.rem(pixel, width)
-    pyi = jax.lax.div(pixel, width)
-    # RNG counter: globally unique (sample, pixel) id — equal to ray_idx
-    # single-chip, disjoint across mesh pixel shards
-    ray_idx = jax.lax.div(ray_idx, n_pixels) * si_ref[11] + pixel
-
-    # iota-derived zeros: forces a standard (non-replicated) vector layout on
-    # every loop-carry init — broadcast-constant inits trip a Mosaic relayout
-    # bug ("non-singleton dimension replicated in destination") in this kernel
-    zeros = (row + col).astype(jnp.float32) * 0.0
-
-    w_f = width.astype(jnp.float32)
-    h_f = si_ref[1].astype(jnp.float32)
-    half_w = sf_ref[12]
-    half_h = sf_ref[13]
-    # pinhole vs orthographic blend (rayGenerator.cl:13-27; sf[17] = is_ortho)
-    w_ort = sf_ref[17]
-
-    def cam_ray(idx2):
-        """Camera ray for this lane's pixel, RNG stream ``idx2``
-        (rayGenerator.cl:13-27 pinhole/ortho math, jittered)."""
-        fx = pxi.astype(jnp.float32) + _u01(seed, jnp.int32(1), idx2)
-        fy = pyi.astype(jnp.float32) + _u01(seed, jnp.int32(2), idx2)
-        sx = fx / w_f - 0.5
-        sy = fy / h_f - 0.5
-        offx = 2.0 * sx * half_w * sf_ref[6] + 2.0 * sy * half_h * sf_ref[9]
-        offy = 2.0 * sx * half_w * sf_ref[7] + 2.0 * sy * half_h * sf_ref[10]
-        offz = 2.0 * sx * half_w * sf_ref[8] + 2.0 * sy * half_h * sf_ref[11]
-        cdx = sf_ref[3] + (1.0 - w_ort) * offx
-        cdy = sf_ref[4] + (1.0 - w_ort) * offy
-        cdz = sf_ref[5] + (1.0 - w_ort) * offz
-        cdx, cdy, cdz = _normalize3(cdx, cdy, cdz)
-        cox = zeros + sf_ref[0] + w_ort * offx
-        coy = zeros + sf_ref[1] + w_ort * offy
-        coz = zeros + sf_ref[2] + w_ort * offz
-        return cox, coy, coz, cdx, cdy, cdz
-
-    # --- sample-0 camera rays ---
-    ox, oy, oz, dx, dy, dz = cam_ray(ray_idx)
-
-    eps = sf_ref[14]
-    t_min = sf_ref[15]
-    max_depth_f = max_depth.astype(jnp.float32)
-    spp_s = si_ref[12]
-    spp_f = spp_s.astype(jnp.float32)
-    rr_en = (si_ref[5] > 0).astype(jnp.float32)
-    rr_start_f = si_ref[6].astype(jnp.float32)
-
-    state = (
-        jnp.int32(0),  # iteration counter (== depth when not regen)
-        ox, oy, oz, dx, dy, dz,
-        zeros + 1.0, zeros + 1.0, zeros + 1.0,  # throughput
-        zeros, zeros, zeros,  # radiance
-        zeros + 1.0,  # alive (f32 mask)
-        zeros,  # inside (f32 mask)
-        zeros,  # live-segment counter
-        zeros,  # prev_sc: previous bounce sampled a reflective BSDF (f32)
-        zeros,  # prev_pdf: that sample's solid-angle pdf (for MIS)
-    )
-    if regen:
-        state = state + (
-            zeros,  # per-lane path depth
-            zeros,  # per-lane completed-sample count
-        )
-
-    if regen:
-        def cond(s):
-            it, done_s = s[0], s[19]
-            return (it < spp_s * max_depth) & jnp.any(done_s < spp_f - 0.5)
-    else:
-        def cond(s):
-            depth, alive = s[0], s[13]
-            return (depth < max_depth) & jnp.any(alive > 0.0)
-
-    def bounce(s):
-        if regen:
-            (it, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive,
-             inside, segs, prev_sc, prev_pdf, depth_v, done_s) = s
-            depth = it  # scalar iteration index (RNG salt only when not regen)
-            alive_in = alive
-        else:
-            (depth, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive,
-             inside, segs, prev_sc, prev_pdf) = s
-
-        # ---- intersect: closest hit over all triangles (Wald transforms) ----
+    def closest(ox, oy, oz, dx, dy, dz, alive):
         def tri_body(t, acc):
             bt, bi = acc
             a00 = tri_ref[t, 0]
@@ -338,7 +213,7 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
             )
             return jnp.where(ok, th, bt), jnp.where(ok, t, bi)
 
-        init_ti = (zeros + 3.0e38, jnp.zeros((SUB, 128), jnp.int32))
+        init_ti = (zeros + 3.0e38, (row + col) * 0)
         if static_tris is not None:
             acc = init_ti
             for t in range(static_tris):
@@ -395,11 +270,8 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
             jax.lax.fori_loop(0, n_tris_pad // CHUNK_TRIS, tri_chunk,
                               jnp.int32(0))
             best_t, best_i = bt_ref[:], bi_ref[:]
-        hit = (best_t < 3.0e38) & (alive > 0.0)
-        segs = segs + alive
 
-        # ---- resolve: normal + material id per triangle, then material
-        # constants from the (small) material table ----
+        # ---- resolve: normal + material id from the best triangle row ----
         def res_tri(t, acc, c):
             sel = best_i == t
             return (
@@ -428,7 +300,240 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
                 0, n_tris_pad // CHUNK_TRIS, res_chunk, init_res
             )
         nx, ny, nz, mid = resolved
+        return best_t, nx, ny, nz, mid
 
+    def occluded(sox, soy, soz, iwx, iwy, iwz, limit, cand):
+        def shadow_test(c):
+            opz = c[6] * sox + c[7] * soy + c[8] * soz + c[11]
+            dpz = c[6] * iwx + c[7] * iwy + c[8] * iwz
+            th = -opz / dpz
+            opx = c[0] * sox + c[1] * soy + c[2] * soz + c[9]
+            dpx = c[0] * iwx + c[1] * iwy + c[2] * iwz
+            u = opx + th * dpx
+            opy = c[3] * sox + c[4] * soy + c[5] * soz + c[10]
+            dpy = c[3] * iwx + c[4] * iwy + c[5] * iwz
+            v = opy + th * dpy
+            return ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (th > t_min) & (th < limit))
+
+        occ = zeros
+        if static_tris is not None:
+            for t in range(static_tris):
+                occ = jnp.maximum(
+                    occ, shadow_test(tri_c[t]).astype(jnp.float32)
+                )
+            return occ
+
+        # chunk culling for shadow rays, doubly pruned: a chunk is skipped
+        # unless its box straddles some candidate lane's unoccluded segment
+        # (t ∈ (0, limit)) — occluded lanes stop widening the union, so
+        # blocks that occlude early skip the rest of the table
+        tiny = 1e-30
+        isx = 1.0 / jnp.where(jnp.abs(iwx) < tiny,
+                              jnp.where(iwx < 0.0, -tiny, tiny), iwx)
+        isy = 1.0 / jnp.where(jnp.abs(iwy) < tiny,
+                              jnp.where(iwy < 0.0, -tiny, tiny), iwy)
+        isz = 1.0 / jnp.where(jnp.abs(iwz) < tiny,
+                              jnp.where(iwz < 0.0, -tiny, tiny), iwz)
+        occ_ref[:] = zeros
+
+        def sh_chunk(ci, carry):
+            t0x = (cb_ref[ci, 0] - sox) * isx
+            t1x = (cb_ref[ci, 3] - sox) * isx
+            t0y = (cb_ref[ci, 1] - soy) * isy
+            t1y = (cb_ref[ci, 4] - soy) * isy
+            t0z = (cb_ref[ci, 2] - soz) * isz
+            t1z = (cb_ref[ci, 5] - soz) * isz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x),
+                            jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x),
+                            jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            seg_live = cand & (occ_ref[:] < 0.5)
+            hitc = ((tf >= jnp.maximum(tn, 0.0)) & (tn < limit)
+                    & seg_live)
+
+            @pl.when(jnp.any(hitc))
+            def _():
+                o = occ_ref[:]
+                base = ci * CHUNK_TRIS
+                for j in range(CHUNK_TRIS):
+                    c = [tri_ref[base + j, k] for k in range(12)]
+                    o = jnp.maximum(
+                        o, shadow_test(c).astype(jnp.float32)
+                    )
+                occ_ref[:] = o
+
+            return carry
+
+        jax.lax.fori_loop(0, n_tris_pad // CHUNK_TRIS, sh_chunk,
+                          jnp.int32(0))
+        return occ_ref[:]
+
+    return closest, occluded
+
+
+def _render_body(static_mats, use_nee, use_mis, static_lights, regen, sub,
+                 make_intersectors, pixel_override, si_ref, sf_ref, matt_ref,
+                 lit_ref, r_ref, g_ref, b_ref, seg_ref):
+    """One block of ``sub``×128 rays, full path trace.
+
+    Engine-agnostic: the geometry queries come from ``make_intersectors(zeros,
+    row, col, t_min) -> (closest, occluded)`` where ``closest(o…, d…, alive)``
+    returns ``(best_t, nx, ny, nz, mat_id)`` with ``best_t == 3e38`` on miss,
+    and ``occluded(o…, d…, limit, cand)`` returns an f32 occlusion mask.  The
+    dense-table megakernel and the cluster-BVH megakernel share everything
+    else — camera, RNG, materials, NEE/MIS/RR, path regeneration — so the two
+    engines compute the same estimator by construction.  ``pixel_override``
+    (optional callable) supplies per-lane pixel ids (e.g. tile-order
+    permutations for the cluster engine) instead of the linear mapping.
+
+    ``regen=False`` (batch schedule): one lane per (sample, pixel); a lane
+    whose path terminates idles until its whole block retires — average live
+    occupancy over a depth-16 cbox run is ~41%.
+
+    ``regen=True`` (path regeneration): one lane per *pixel*; the moment a
+    lane's path terminates it generates the NEXT sample's camera ray in place
+    (per-lane depth + sample counters), so lanes stay ~fully occupied until
+    the block's final samples drain.  This is the TPU megakernel answer to
+    the dead-lane waste the reference sidesteps with per-work-item early
+    return (``intersect.cl:16-18``) — no repack pass, no atomics: a lane's
+    pixel never changes, so its radiance accumulator is already the per-pixel
+    sample sum the host wants.
+
+    si_ref (SMEM i32): 0 width, 1 height, 2 n_tris, 3 max_depth, 4 seed,
+                       5 rr_enabled, 6 rr_start_depth, 7 n_pixels (this
+                       shard's slice length), 8 n_mats, 9 n_lights,
+                       10 pixel_base (first pixel id of the slice — 0 and
+                       W·H single-chip; a mesh pixel shard passes its own),
+                       11 total pixels (W·H — makes the per-lane RNG counter
+                       globally unique across pixel shards),
+                       12 spp (samples per lane; used when regen)
+    sf_ref (SMEM f32): 0:3 cam pos, 3:6 fwd, 6:9 right, 9:12 up,
+                       12 half_w, 13 half_h, 14 eps, 15 t_min,
+                       16 total light area
+    lit_ref (VMEM, L_pad×16): per emissive triangle — 0:3 v0, 3:6 e1, 6:9 e2,
+                       9:12 emission, 12:15 unit normal, 15 area CDF
+    """
+    blk = pl.program_id(0)
+    width = si_ref[0]
+    max_depth = si_ref[3]
+    seed = si_ref[4]
+
+    # hoisted loop-invariant scalars (unrolled specializations)
+    if static_mats is not None:
+        mat_c = [[matt_ref[m, j] for j in range(12)] for m in range(static_mats)]
+    unroll_lights = use_nee and static_lights <= 16
+    if unroll_lights:
+        lit_c = [[lit_ref[t, j] for j in range(16)]
+                 for t in range(static_lights)]
+    if use_nee:
+        area_l = sf_ref[16]
+
+    n_pixels = si_ref[7]
+    row = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
+    ray_idx = blk * (sub * 128) + row * 128 + col
+    if pixel_override is None:
+        pixel = si_ref[10] + jax.lax.rem(ray_idx, n_pixels)
+    else:
+        pixel = pixel_override()
+    pxi = jax.lax.rem(pixel, width)
+    pyi = jax.lax.div(pixel, width)
+    # RNG counter: globally unique (sample, pixel) id — equal to ray_idx
+    # single-chip, disjoint across mesh pixel shards
+    ray_idx = jax.lax.div(ray_idx, n_pixels) * si_ref[11] + pixel
+
+    # iota-derived zeros: forces a standard (non-replicated) vector layout on
+    # every loop-carry init — broadcast-constant inits trip a Mosaic relayout
+    # bug ("non-singleton dimension replicated in destination") in this kernel
+    zeros = (row + col).astype(jnp.float32) * 0.0
+
+    w_f = width.astype(jnp.float32)
+    h_f = si_ref[1].astype(jnp.float32)
+    half_w = sf_ref[12]
+    half_h = sf_ref[13]
+    # pinhole vs orthographic blend (rayGenerator.cl:13-27; sf[17] = is_ortho)
+    w_ort = sf_ref[17]
+
+    def cam_ray(idx2):
+        """Camera ray for this lane's pixel, RNG stream ``idx2``
+        (rayGenerator.cl:13-27 pinhole/ortho math, jittered)."""
+        fx = pxi.astype(jnp.float32) + _u01(seed, jnp.int32(1), idx2)
+        fy = pyi.astype(jnp.float32) + _u01(seed, jnp.int32(2), idx2)
+        sx = fx / w_f - 0.5
+        sy = fy / h_f - 0.5
+        offx = 2.0 * sx * half_w * sf_ref[6] + 2.0 * sy * half_h * sf_ref[9]
+        offy = 2.0 * sx * half_w * sf_ref[7] + 2.0 * sy * half_h * sf_ref[10]
+        offz = 2.0 * sx * half_w * sf_ref[8] + 2.0 * sy * half_h * sf_ref[11]
+        cdx = sf_ref[3] + (1.0 - w_ort) * offx
+        cdy = sf_ref[4] + (1.0 - w_ort) * offy
+        cdz = sf_ref[5] + (1.0 - w_ort) * offz
+        cdx, cdy, cdz = _normalize3(cdx, cdy, cdz)
+        cox = zeros + sf_ref[0] + w_ort * offx
+        coy = zeros + sf_ref[1] + w_ort * offy
+        coz = zeros + sf_ref[2] + w_ort * offz
+        return cox, coy, coz, cdx, cdy, cdz
+
+    # --- sample-0 camera rays ---
+    ox, oy, oz, dx, dy, dz = cam_ray(ray_idx)
+
+    eps = sf_ref[14]
+    t_min = sf_ref[15]
+    closest_fn, occluded_fn = make_intersectors(zeros, row, col, t_min)
+    max_depth_f = max_depth.astype(jnp.float32)
+    spp_s = si_ref[12]
+    spp_f = spp_s.astype(jnp.float32)
+    rr_en = (si_ref[5] > 0).astype(jnp.float32)
+    rr_start_f = si_ref[6].astype(jnp.float32)
+
+    state = (
+        jnp.int32(0),  # iteration counter (== depth when not regen)
+        ox, oy, oz, dx, dy, dz,
+        zeros + 1.0, zeros + 1.0, zeros + 1.0,  # throughput
+        zeros, zeros, zeros,  # radiance
+        zeros + 1.0,  # alive (f32 mask)
+        zeros,  # inside (f32 mask)
+        zeros,  # live-segment counter
+        zeros,  # prev_sc: previous bounce sampled a reflective BSDF (f32)
+        zeros,  # prev_pdf: that sample's solid-angle pdf (for MIS)
+    )
+    if regen:
+        state = state + (
+            zeros,  # per-lane path depth
+            zeros,  # per-lane completed-sample count
+        )
+
+    if regen:
+        def cond(s):
+            it, done_s = s[0], s[19]
+            return (it < spp_s * max_depth) & jnp.any(done_s < spp_f - 0.5)
+    else:
+        def cond(s):
+            depth, alive = s[0], s[13]
+            return (depth < max_depth) & jnp.any(alive > 0.0)
+
+    def bounce(s):
+        if regen:
+            (it, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive,
+             inside, segs, prev_sc, prev_pdf, depth_v, done_s) = s
+            depth = it  # scalar iteration index (RNG salt only when not regen)
+            alive_in = alive
+        else:
+            (depth, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive,
+             inside, segs, prev_sc, prev_pdf) = s
+
+        # ---- intersect + resolve: engine-specific closest-hit query ----
+        best_t, nx, ny, nz, mid = closest_fn(ox, oy, oz, dx, dy, dz, alive)
+        hit = (best_t < 3.0e38) & (alive > 0.0)
+        segs = segs + alive
+
+        # ---- material constants from the (small) material table ----
         def res_mat(m, acc, c):
             sel = mid == m  # mid carries the material index as f32
             return tuple(jnp.where(sel, c[j], acc[j]) for j in range(12))
@@ -619,82 +724,12 @@ def _render_body(static_tris, static_mats, use_nee, use_mis, static_lights,
             )
             cand = (is_diff | is_glos) & (cos_s > 0.0) & (cos_l > 1e-6)
             # shadow ray: any hit closer than the light point blocks it
+            # (engine-specific any-hit query)
             sox = hx + eps * iwx
             soy = hy + eps * iwy
             soz = hz + eps * iwz
             limit = dist - 2.0 * eps
-            occ = zeros  # f32 occlusion mask (bool loop carries miscompile)
-
-            def shadow_test(c):
-                opz = c[6] * sox + c[7] * soy + c[8] * soz + c[11]
-                dpz = c[6] * iwx + c[7] * iwy + c[8] * iwz
-                th = -opz / dpz
-                opx = c[0] * sox + c[1] * soy + c[2] * soz + c[9]
-                dpx = c[0] * iwx + c[1] * iwy + c[2] * iwz
-                u = opx + th * dpx
-                opy = c[3] * sox + c[4] * soy + c[5] * soz + c[10]
-                dpy = c[3] * iwx + c[4] * iwy + c[5] * iwz
-                v = opy + th * dpy
-                return ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                        & (th > t_min) & (th < limit))
-
-            if static_tris is not None:
-                for t in range(static_tris):
-                    occ = jnp.maximum(
-                        occ, shadow_test(tri_c[t]).astype(jnp.float32)
-                    )
-            else:
-                # chunk culling for shadow rays, doubly pruned: a chunk is
-                # skipped unless its box straddles some candidate lane's
-                # unoccluded segment (t ∈ (0, limit)) — occluded lanes stop
-                # widening the union, so blocks that occlude early skip the
-                # rest of the table
-                tiny = 1e-30
-                isx = 1.0 / jnp.where(jnp.abs(iwx) < tiny,
-                                      jnp.where(iwx < 0.0, -tiny, tiny), iwx)
-                isy = 1.0 / jnp.where(jnp.abs(iwy) < tiny,
-                                      jnp.where(iwy < 0.0, -tiny, tiny), iwy)
-                isz = 1.0 / jnp.where(jnp.abs(iwz) < tiny,
-                                      jnp.where(iwz < 0.0, -tiny, tiny), iwz)
-                occ_ref[:] = zeros
-
-                def sh_chunk(ci, carry):
-                    t0x = (cb_ref[ci, 0] - sox) * isx
-                    t1x = (cb_ref[ci, 3] - sox) * isx
-                    t0y = (cb_ref[ci, 1] - soy) * isy
-                    t1y = (cb_ref[ci, 4] - soy) * isy
-                    t0z = (cb_ref[ci, 2] - soz) * isz
-                    t1z = (cb_ref[ci, 5] - soz) * isz
-                    tn = jnp.maximum(
-                        jnp.maximum(jnp.minimum(t0x, t1x),
-                                    jnp.minimum(t0y, t1y)),
-                        jnp.minimum(t0z, t1z),
-                    )
-                    tf = jnp.minimum(
-                        jnp.minimum(jnp.maximum(t0x, t1x),
-                                    jnp.maximum(t0y, t1y)),
-                        jnp.maximum(t0z, t1z),
-                    )
-                    seg_live = cand & (occ_ref[:] < 0.5)
-                    hitc = ((tf >= jnp.maximum(tn, 0.0)) & (tn < limit)
-                            & seg_live)
-
-                    @pl.when(jnp.any(hitc))
-                    def _():
-                        o = occ_ref[:]
-                        base = ci * CHUNK_TRIS
-                        for j in range(CHUNK_TRIS):
-                            c = [tri_ref[base + j, k] for k in range(12)]
-                            o = jnp.maximum(
-                                o, shadow_test(c).astype(jnp.float32)
-                            )
-                        occ_ref[:] = o
-
-                    return carry
-
-                jax.lax.fori_loop(0, n_tris_pad // CHUNK_TRIS, sh_chunk,
-                                  jnp.int32(0))
-                occ = occ_ref[:]
+            occ = occluded_fn(sox, soy, soz, iwx, iwy, iwz, limit, cand)
 
             vis = cand.astype(jnp.float32) * (1.0 - occ)
             segs = segs + cand.astype(jnp.float32)
@@ -835,6 +870,41 @@ def _expand_bits_np(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def pack_materials(mats) -> np.ndarray:
+    """(M, 16) f32 material-constant rows (``matt_ref`` row contract)."""
+    m_count = max(int(mats.count), 1)
+    matt = np.zeros((m_count, 16), np.float32)
+    matt[: mats.count, 0:3] = np.asarray(mats.kd)
+    matt[: mats.count, 3:6] = np.asarray(mats.ks)
+    matt[: mats.count, 6:9] = np.asarray(mats.ka)
+    matt[: mats.count, 9] = np.asarray(mats.ns)
+    matt[: mats.count, 10] = np.asarray(mats.ni)
+    matt[: mats.count, 11] = np.asarray(mats.mtype).astype(np.float32)
+    return matt
+
+
+def pack_lights(scene: T.Scene, lights):
+    """NEE light table (``lit_ref`` row contract: v0, e1, e2, emission, unit
+    normal, area CDF) → (lit, n_lights, total_area)."""
+    n_lights = 0
+    total_area = 0.0
+    if lights is not None and int(lights.count) > 0:
+        ids = np.asarray(lights.tri)
+        n_lights = len(ids)
+        lv = np.asarray(scene.geom.verts)[ids]
+        lit = np.zeros((max(n_lights, 1), 16), np.float32)
+        lit[:n_lights, 0:3] = lv[:, 0]
+        lit[:n_lights, 3:6] = lv[:, 1] - lv[:, 0]
+        lit[:n_lights, 6:9] = lv[:, 2] - lv[:, 0]
+        lit[:n_lights, 9:12] = np.asarray(lights.emission)
+        lit[:n_lights, 12:15] = np.asarray(scene.geom.normals)[ids]
+        lit[:n_lights, 15] = np.asarray(lights.cdf)
+        total_area = float(lights.total_area)
+    else:
+        lit = np.zeros((1, 16), np.float32)
+    return lit, n_lights, total_area
+
+
 class MegaScene(NamedTuple):
     """Device tables for the megakernel (built once per scene)."""
 
@@ -883,15 +953,8 @@ def build_megascene(scene: T.Scene, lights=None) -> MegaScene:
         tri = tri[perm]
         verts3 = verts3[perm]
 
-    mats = scene.materials
-    m_count = max(int(mats.count), 1)
-    matt = np.zeros((m_count, 16), np.float32)
-    matt[: mats.count, 0:3] = np.asarray(mats.kd)
-    matt[: mats.count, 3:6] = np.asarray(mats.ks)
-    matt[: mats.count, 6:9] = np.asarray(mats.ka)
-    matt[: mats.count, 9] = np.asarray(mats.ns)
-    matt[: mats.count, 10] = np.asarray(mats.ni)
-    matt[: mats.count, 11] = np.asarray(mats.mtype).astype(np.float32)
+    matt = pack_materials(scene.materials)
+    m_count = matt.shape[0]
 
     pad = (-t_count) % CHUNK_TRIS
     if pad:
@@ -917,23 +980,7 @@ def build_megascene(scene: T.Scene, lights=None) -> MegaScene:
     else:
         cbox = np.zeros((1, 8), np.float32)  # unrolled tier: never read
 
-    # NEE light table: v0, e1, e2, emission, unit normal, area CDF
-    n_lights = 0
-    total_area = 0.0
-    if lights is not None and int(lights.count) > 0:
-        ids = np.asarray(lights.tri)
-        n_lights = len(ids)
-        lv = np.asarray(scene.geom.verts)[ids]
-        lit = np.zeros((max(n_lights, 1), 16), np.float32)
-        lit[:n_lights, 0:3] = lv[:, 0]
-        lit[:n_lights, 3:6] = lv[:, 1] - lv[:, 0]
-        lit[:n_lights, 6:9] = lv[:, 2] - lv[:, 0]
-        lit[:n_lights, 9:12] = np.asarray(lights.emission)
-        lit[:n_lights, 12:15] = np.asarray(scene.geom.normals)[ids]
-        lit[:n_lights, 15] = np.asarray(lights.cdf)
-        total_area = float(lights.total_area)
-    else:
-        lit = np.zeros((1, 16), np.float32)
+    lit, n_lights, total_area = pack_lights(scene, lights)
     return MegaScene(
         tri=jnp.asarray(tri), matt=jnp.asarray(matt), lit=jnp.asarray(lit),
         cbox=jnp.asarray(cbox),
@@ -965,7 +1012,16 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
     if pixel_count is None:
         pixel_count = width * height
     if schedule == "auto":
-        schedule = "regen" if spp > 1 else "batch"
+        # regen's bounce loop is inherently a data-dependent While; if the
+        # Mosaic probe ever downgrades _BOUNCE_LOOP to "fori", auto must not
+        # pick a schedule the backend can't lower
+        schedule = "regen" if spp > 1 and _BOUNCE_LOOP == "while" else "batch"
+    if schedule == "regen" and _BOUNCE_LOOP != "while":
+        raise RuntimeError(
+            "schedule='regen' needs data-dependent while_loop support, which "
+            "the Mosaic probe disabled on this backend (_BOUNCE_LOOP="
+            f"{_BOUNCE_LOOP!r}); use schedule='batch'"
+        )
     assert schedule in ("regen", "batch"), schedule
     return _render_mega_jit(
         mega.tri, mega.matt, mega.lit, mega.cbox, cam, width, height, spp,

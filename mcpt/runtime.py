@@ -100,3 +100,51 @@ class StageTimer:
 
 def mrays(segments: float, seconds: float) -> float:
     return segments / max(seconds, 1e-12) / 1e6
+
+
+def measure_vpu_peak(repeats: int = 3) -> float:
+    """Empirical f32 VPU FMA peak of the attached chip, in FLOP/s.
+
+    The MFU denominator for ``bench.py``: a Pallas kernel chains UNROLL
+    dependent FMAs per element on a VMEM-resident block (arithmetic intensity
+    ≈ 128 flop/byte — far past the HBM roofline knee, so this measures the
+    vector units, not bandwidth).  The path tracer is VPU-bound elementwise
+    code, so the relevant roofline is this number, not the MXU TFLOPs on the
+    spec sheet.  Returns the best of ``repeats`` timed runs.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    SUB, UNROLL, GRID = 256, 256, 64
+
+    def kernel(x_ref, o_ref):
+        a = x_ref[0, 0] * 1e-8 + 1.0000001
+        b = x_ref[0, 1] * 1e-8 + 1e-9
+        v = x_ref[:]
+        for _ in range(UNROLL):
+            v = v * a + b
+        o_ref[:] = v
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            kernel,
+            grid=(GRID,),
+            out_shape=jax.ShapeDtypeStruct((GRID * SUB, 128), jnp.float32),
+            in_specs=[pl.BlockSpec((SUB, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((SUB, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )(x)
+
+    x = jnp.ones((GRID * SUB, 128), jnp.float32)
+    StageTimer.sync(run(x))  # compile + warm
+    best = 0.0
+    flops = 2.0 * GRID * SUB * 128 * UNROLL
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        StageTimer.sync(run(x))
+        best = max(best, flops / (time.perf_counter() - t0))
+    return best

@@ -141,16 +141,18 @@ def build_scene(loaded: LoadedObject, bvhtype: str = "hlbvh"):
         # Mrays/s primary) vs the SAH-subtree cut of the per-triangle BVH
         # (tighter boxes — wins on irregular interiors: diningroom 2.06 vs
         # 1.69 Mrays/s end-to-end).
+        # The SAH is decided from cheap topology-only plans; the Wald-table
+        # materialization (the expensive half) runs once, for the winner.
         nrm = np.asarray(geom.normals)
-        c_morton = cluster_mod.build_clusters(loaded.verts, nrm,
-                                              loaded.mat_id)
-        c_cut = cluster_mod.build_clusters(loaded.verts, nrm, loaded.mat_id,
-                                           bvh=bvh)
-        clusters = (
-            c_morton
-            if cluster_mod.cluster_sah(c_morton)
-            <= cluster_mod.cluster_sah(c_cut) else c_cut
+        p_morton = cluster_mod.plan_clusters(loaded.verts)
+        p_cut = cluster_mod.plan_clusters(loaded.verts, bvh=bvh)
+        best = (
+            p_morton
+            if cluster_mod.plan_sah(p_morton) <= cluster_mod.plan_sah(p_cut)
+            else p_cut
         )
+        clusters = cluster_mod.build_clusters(loaded.verts, nrm,
+                                              loaded.mat_id, plan=best)
     scene = Scene(
         geom=geom, materials=mats, bvh=bvh,
         eps=jnp.float32(max(1e-4 * diag, 1e-6)),
