@@ -229,3 +229,73 @@ def render_mega_sharded(
         )
     )(mega.tri, mega.matt, mega.lit, mega.cbox, cam)
     return out[:n]
+
+
+def render_cluster_sharded(
+    cms,
+    cam: Camera,
+    width: int,
+    height: int,
+    spp: int,
+    mesh: Mesh,
+    seed: int = 0,
+    max_depth: int = 8,
+    nee: bool = False,
+    mis: bool = False,
+    rr: bool = False,
+    interpret: bool = False,
+    subt: int | None = None,
+) -> jnp.ndarray:
+    """Sharded *fused cluster* engine (``mcpt.pallas.cluster_megakernel``)
+    over BOTH mesh axes: the tile-order pixel permutation is sliced over the
+    ``pixels`` axis (each shard's kernel lanes cover only its slice — square
+    screen tiles, so shards keep the traversal-block coherence), the sample
+    axis is DP with device-unique seeds, and the radiance ``psum`` over
+    samples is the only collective.  Returns the (W·H, 3) radiance sum,
+    sharded over ``pixels``.
+    """
+    from mcpt.pallas import cluster_megakernel as cmk
+    from mcpt.pallas.traverse_kernel import SUBT
+
+    if subt is None:
+        subt = SUBT
+    d_s = mesh.shape["samples"]
+    d_p = mesh.shape["pixels"]
+    assert spp % d_s == 0, (spp, d_s)
+    spp_local = spp // d_s
+    n = width * height
+    perm, inv_perm = camera_mod.tile_order(width, height, block=subt * 128)
+    n_pad = _pad_to(n, d_p)
+    # pad the permutation (duplicate edge pixels) so every shard's slice is
+    # equal-sized; duplicates render twice, and the inv_perm gather below
+    # picks one copy (radiance there double-counts nothing: each pixel id is
+    # read from one slot)
+    perm_pad = np.pad(perm, (0, n_pad - n), mode="edge")
+    local_n = n_pad // d_p
+
+    def step(wnodes, tri16, matt, lit, cam_, pix_local):
+        si = jax.lax.axis_index("samples")
+        dev_seed = seed + si * 65537 + 1  # pixel shards share the sample seed
+        cms_local = cms._replace(wnodes=wnodes, tri16=tri16, matt=matt,
+                                 lit=lit)
+        rad, _segs = cmk._render_cluster_jit(
+            cms_local.wnodes, cms_local.tri16, cms_local.matt,
+            cms_local.lit, pix_local, cam_, width, height, spp_local,
+            dev_seed, max_depth, rr, 3, nee and cms.n_lights > 0, mis, 0.0,
+            1e-4, interpret, cms.n_clusters, cms.leaf_size, cms.n_mats,
+            cms.n_lights, cms.eps, cms.total_light_area, False, subt,
+        )
+        return jax.lax.psum(rad, axis_name="samples")
+
+    out = jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P("pixels")),
+            out_specs=P("pixels"),
+            check_vma=False,
+        )
+    )(cms.wnodes, cms.tri16, cms.matt, cms.lit, cam, jnp.asarray(perm_pad))
+    # out rows follow the (padded) tile permutation; rows ≥ n are the padding
+    # duplicates — inv_perm indexes each pixel's unique row in the first n
+    return out[jnp.asarray(inv_perm)]

@@ -59,6 +59,9 @@ class ClusterMegaScene(NamedTuple):
     n_lights: int
     eps: float
     total_light_area: float
+    # scene AABB (for the hybrid pipeline's inter-bounce coherence sort keys)
+    bb_lo: tuple = (0.0, 0.0, 0.0)
+    bb_inv_ext: tuple = (1.0, 1.0, 1.0)
 
 
 def build_cluster_megascene(scene: T.Scene, lights=None) -> ClusterMegaScene:
@@ -67,6 +70,9 @@ def build_cluster_megascene(scene: T.Scene, lights=None) -> ClusterMegaScene:
     assert cl is not None, "scene has no cluster BVH (build_scene builds one)"
     matt = mk.pack_materials(scene.materials)
     lit, n_lights, total_area = mk.pack_lights(scene, lights)
+    v = np.asarray(scene.geom.verts, np.float32).reshape(-1, 3)
+    lo = v.min(axis=0)
+    ext = np.maximum(v.max(axis=0) - lo, 1e-12)
     return ClusterMegaScene(
         wnodes=cl.wnodes,
         tri16=cl.tri16,
@@ -78,13 +84,15 @@ def build_cluster_megascene(scene: T.Scene, lights=None) -> ClusterMegaScene:
         n_lights=n_lights,
         eps=float(scene.eps),
         total_light_area=total_area,
+        bb_lo=tuple(float(x) for x in lo),
+        bb_inv_ext=tuple(float(x) for x in 1.0 / ext),
     )
 
 
-def _make_cluster_intersectors(n_wide, n_clusters, leaf_size, nodes_ref,
-                               tri_ref, t_ref, nx_ref, ny_ref, nz_ref,
-                               mid_ref, stack_ref, flag_ref, zeros, row, col,
-                               t_min):
+def _make_cluster_intersectors(n_wide, n_clusters, leaf_size, subt,
+                               nodes_ref, tri_ref, t_ref, nx_ref, ny_ref,
+                               nz_ref, mid_ref, stack_ref, flag_ref, zeros,
+                               row, col, t_min):
     """Tree-walk intersectors satisfying ``_render_body``'s contract.
 
     One shared scalar stack per ray block (SMEM); per-lane best state lives
@@ -169,7 +177,7 @@ def _make_cluster_intersectors(n_wide, n_clusters, leaf_size, nodes_ref,
                     m = m | pltpu.roll(m, s_, axis=1)
                     s_ *= 2
                 s_ = 1
-                while s_ < SUBT:  # OR over sublanes
+                while s_ < subt:  # OR over sublanes
                     m = m | pltpu.roll(m, s_, axis=0)
                     s_ *= 2
                 bits = jnp.max(m)
@@ -281,18 +289,18 @@ def _make_cluster_intersectors(n_wide, n_clusters, leaf_size, nodes_ref,
     return closest, occluded
 
 
-def _make_cluster_kernel(n_wide, n_clusters, leaf_size, static_mats, use_nee,
-                         use_mis, static_lights, regen):
+def _make_cluster_kernel(n_wide, n_clusters, leaf_size, subt, static_mats,
+                         use_nee, use_mis, static_lights, regen):
     def kernel(si_ref, sf_ref, nodes_ref, tri_ref, matt_ref, lit_ref,
                pix_ref, r_ref, g_ref, b_ref, seg_ref, t_s, nx_s, ny_s, nz_s,
                mid_s, stack_s, flag_s):
         make = functools.partial(
-            _make_cluster_intersectors, n_wide, n_clusters, leaf_size,
+            _make_cluster_intersectors, n_wide, n_clusters, leaf_size, subt,
             nodes_ref, tri_ref, t_s, nx_s, ny_s, nz_s, mid_s, stack_s,
             flag_s,
         )
         return mk._render_body(
-            static_mats, use_nee, use_mis, static_lights, regen, SUBT, make,
+            static_mats, use_nee, use_mis, static_lights, regen, subt, make,
             lambda: pix_ref[:], si_ref, sf_ref, matt_ref, lit_ref, r_ref,
             g_ref, b_ref, seg_ref,
         )
@@ -306,7 +314,7 @@ def render_cluster_mega(cms: ClusterMegaScene, cam: T.Camera, width: int,
                         nee: bool = False, mis: bool = False,
                         clamp: float = 0.0, t_min: float = 1e-4,
                         interpret: bool | None = None,
-                        schedule: str = "auto"):
+                        schedule: str = "auto", subt: int = SUBT):
     """Render ``spp`` samples → ((W·H, 3) radiance sum, segments traced).
 
     Same contract and schedules as ``megakernel.render_mega`` (``"regen"`` —
@@ -328,13 +336,14 @@ def render_cluster_mega(cms: ClusterMegaScene, cam: T.Camera, width: int,
         )
     assert schedule in ("regen", "batch"), schedule
 
-    perm, inv_perm = tile_order(width, height, block=BLKT)
+    perm, inv_perm = tile_order(width, height, block=subt * 128)
     pix = jnp.asarray(perm)
     radiance_perm, segs = _render_cluster_jit(
         cms.wnodes, cms.tri16, cms.matt, cms.lit, pix, cam, width, height,
         spp, seed, max_depth, rr, rr_start, nee and cms.n_lights > 0, mis,
         clamp, t_min, interpret, cms.n_clusters, cms.leaf_size, cms.n_mats,
         cms.n_lights, cms.eps, cms.total_light_area, schedule == "regen",
+        subt,
     )
     return radiance_perm[jnp.asarray(inv_perm)], segs
 
@@ -344,20 +353,25 @@ def render_cluster_mega(cms: ClusterMegaScene, cam: T.Camera, width: int,
     static_argnames=("width", "height", "spp", "max_depth", "rr", "rr_start",
                      "nee", "mis", "clamp", "t_min", "interpret",
                      "n_clusters", "leaf_size", "n_mats", "n_lights", "eps",
-                     "total_light_area", "regen"),
+                     "total_light_area", "regen", "subt"),
 )
 def _render_cluster_jit(wnodes, tri16, matt, lit, pix, cam, width, height,
                         spp, seed, max_depth, rr, rr_start, nee, mis, clamp,
                         t_min, interpret, n_clusters, leaf_size, n_mats,
-                        n_lights, eps, total_light_area, regen=False):
+                        n_lights, eps, total_light_area, regen=False,
+                        subt=SUBT):
     n_wide = wnodes.shape[0]
-    n_pixels = width * height
+    blkt = subt * 128
+    # ``pix`` holds this call's (globally-ided) pixels — the whole image
+    # single-chip, or one shard's slice of the tile permutation under
+    # ``mcpt.dist.render_cluster_sharded``
+    n_pixels = pix.shape[0]
     n_rays = n_pixels if regen else n_pixels * spp
-    n_blocks = (n_rays + BLKT - 1) // BLKT
+    n_blocks = (n_rays + blkt - 1) // blkt
 
     si = jnp.array(
         [width, height, 0, max_depth, 0, int(rr), rr_start, n_pixels,
-         n_mats, n_lights, 0, n_pixels, spp],
+         n_mats, n_lights, 0, width * height, spp],
         jnp.int32,
     )
     si = si.at[4].set(jnp.asarray(seed, jnp.int32))
@@ -384,20 +398,20 @@ def _render_cluster_jit(wnodes, tri16, matt, lit, pix, cam, width, height,
     # per-lane pixel ids, tile order, sample-major; pad lanes duplicate the
     # last tile's pixels (coherent, and their radiance is sliced off below)
     pix_full = pix if regen else jnp.tile(pix, spp)
-    pad = n_blocks * BLKT - n_rays
+    pad = n_blocks * blkt - n_rays
     pix_full = jnp.pad(pix_full, (0, pad), mode="edge").reshape(
-        n_blocks * SUBT, 128
+        n_blocks * subt, 128
     )
 
     grid = (n_blocks,)
-    lane_spec = pl.BlockSpec((SUBT, 128), lambda i: (i, 0),
+    lane_spec = pl.BlockSpec((subt, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     out_shape = [
-        jax.ShapeDtypeStruct((n_blocks * SUBT, 128), jnp.float32)
+        jax.ShapeDtypeStruct((n_blocks * subt, 128), jnp.float32)
         for _ in range(4)
     ]
     r, g, b, segs = pl.pallas_call(
-        _make_cluster_kernel(n_wide, n_clusters, leaf_size,
+        _make_cluster_kernel(n_wide, n_clusters, leaf_size, subt,
                              n_mats if n_mats <= 64 else None, nee, mis,
                              n_lights, regen),
         grid=grid,
@@ -413,11 +427,11 @@ def _render_cluster_jit(wnodes, tri16, matt, lit, pix, cam, width, height,
         ],
         out_specs=[lane_spec] * 4,
         scratch_shapes=[
-            pltpu.VMEM((SUBT, 128), jnp.float32),  # best t / occlusion
-            pltpu.VMEM((SUBT, 128), jnp.float32),  # normal x
-            pltpu.VMEM((SUBT, 128), jnp.float32),  # normal y
-            pltpu.VMEM((SUBT, 128), jnp.float32),  # normal z
-            pltpu.VMEM((SUBT, 128), jnp.float32),  # material id
+            pltpu.VMEM((subt, 128), jnp.float32),  # best t / occlusion
+            pltpu.VMEM((subt, 128), jnp.float32),  # normal x
+            pltpu.VMEM((subt, 128), jnp.float32),  # normal y
+            pltpu.VMEM((subt, 128), jnp.float32),  # normal z
+            pltpu.VMEM((subt, 128), jnp.float32),  # material id
             pltpu.SMEM((STACK_CAP,), jnp.int32),
             pltpu.SMEM((16,), jnp.int32),
         ],
@@ -440,3 +454,279 @@ def _render_cluster_jit(wnodes, tri16, matt, lit, pix, cam, width, height,
         radiance = rad.reshape(spp, n_pixels, 3).sum(axis=0)
     segments = jnp.sum(segs.reshape(-1)[:n_rays])
     return radiance, segments
+
+
+# ---------------------------------------------------------------------------
+# Hybrid pipeline: fused bounce kernel + inter-bounce coherence sort
+# ---------------------------------------------------------------------------
+#
+# Measured on the 108k-tri boxfield (depth 8): the all-in-kernel bounce loop
+# above runs 1.45 Mrays/s because deep-bounce ray blocks are fixed at camera
+# time and traverse huge node unions, while the wavefront pipeline's
+# inter-bounce re-sort reaches 4.4 Mrays/s — coherence beats fusion.  The
+# hybrid takes both: ONE pallas call per bounce fuses closest-hit walk,
+# material resolve, shading, the NEE shadow walk, and Russian roulette (no
+# XLA-level shading, no separate shadow-traversal call, no hit-payload round
+# trips), and between bounces the flat ray state is re-sorted at the XLA
+# level by (coarse origin cell, direction octant) so every block stays
+# coherent at every depth.  RNG ids ride the sort, so the result is the same
+# estimator as the batch-schedule engines (same (sample, pixel) streams).
+
+
+def _make_bounce_kernel(n_wide, n_clusters, leaf_size, subt, static_mats,
+                        use_nee, use_mis, static_lights):
+    def kernel(si_ref, sf_ref, nodes_ref, tri_ref, matt_ref, lit_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tr_ref, tg_ref, tb_ref, rr_ref, rg_ref, rb_ref,
+               al_ref, in_ref, ps_ref, pp_ref, id_ref,
+               oox, ooy, ooz, odx, ody, odz, otr, otg, otb, orr, org, orb,
+               oal, oin, ops_, opp, oseg,
+               t_s, nx_s, ny_s, nz_s, mid_s, stack_s, flag_s):
+        sub = ox_ref.shape[0]
+        row = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
+        zeros = (row + col).astype(jnp.float32) * 0.0
+        seed = si_ref[4]
+        t_min = sf_ref[15]
+
+        closest_fn, occluded_fn = _make_cluster_intersectors(
+            n_wide, n_clusters, leaf_size, subt, nodes_ref, tri_ref, t_s,
+            nx_s, ny_s, nz_s, mid_s, stack_s, flag_s, zeros, row, col, t_min,
+        )
+        core = mk._make_bounce_core(
+            static_mats, use_nee, use_mis, static_lights, si_ref, sf_ref,
+            matt_ref, lit_ref, closest_fn, occluded_fn, zeros, seed,
+        )
+
+        depth = si_ref[13]
+        salt0 = 8 * depth + 3
+        pidx = id_ref[:]
+        depth_ok = (depth + 1 < si_ref[3]).astype(jnp.float32)
+        rr_on = ((si_ref[5] > 0) & (depth >= si_ref[6])).astype(jnp.float32)
+
+        st = (ox_ref[:], oy_ref[:], oz_ref[:], dx_ref[:], dy_ref[:],
+              dz_ref[:], tr_ref[:], tg_ref[:], tb_ref[:], rr_ref[:],
+              rg_ref[:], rb_ref[:], al_ref[:], in_ref[:],
+              zeros,  # per-call segment counter
+              ps_ref[:], pp_ref[:])
+        st = core(st, salt0, pidx, depth_ok, rr_on)
+        (nox, noy, noz, ndx, ndy, ndz, ntr, ntg, ntb, nrr, nrg, nrb, nal,
+         nin, nsegs, nps, npp) = st
+        oox[:] = nox
+        ooy[:] = noy
+        ooz[:] = noz
+        odx[:] = ndx
+        ody[:] = ndy
+        odz[:] = ndz
+        otr[:] = ntr
+        otg[:] = ntg
+        otb[:] = ntb
+        orr[:] = nrr
+        org[:] = nrg
+        orb[:] = nrb
+        oal[:] = nal
+        oin[:] = nin
+        ops_[:] = nps
+        opp[:] = npp
+        oseg[:] = nsegs
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "rr", "rr_start", "nee", "mis", "clamp",
+                     "t_min", "interpret", "n_clusters", "leaf_size",
+                     "n_mats", "n_lights", "eps", "total_light_area",
+                     "subt"),
+)
+def _fused_bounce_jit(wnodes, tri16, matt, lit, state, rng_id, seed, depth,
+                      max_depth, rr, rr_start, nee, mis, clamp, t_min,
+                      interpret, n_clusters, leaf_size, n_mats, n_lights,
+                      eps, total_light_area, subt=SUBT):
+    """One fused bounce over the whole (rows, 128)-blocked ray state."""
+    n_wide = wnodes.shape[0]
+    rows = state[0].shape[0]
+    si = jnp.array(
+        [0, 0, 0, max_depth, 0, int(rr), rr_start, 1, n_mats, n_lights, 0,
+         1, 1, 0],
+        jnp.int32,
+    )
+    si = si.at[4].set(jnp.asarray(seed, jnp.int32))
+    si = si.at[13].set(jnp.asarray(depth, jnp.int32))
+    sf = jnp.zeros((19,), jnp.float32)
+    sf = sf.at[14].set(eps).at[15].set(t_min)
+    sf = sf.at[16].set(total_light_area).at[18].set(clamp)
+
+    grid = (rows // subt,)
+    lane_spec = pl.BlockSpec((subt, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)
+                 for _ in range(17)]
+    outs = pl.pallas_call(
+        _make_bounce_kernel(n_wide, n_clusters, leaf_size, subt,
+                            n_mats if n_mats <= 64 else None, nee, mis,
+                            n_lights),
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + [lane_spec] * 17,
+        out_specs=[lane_spec] * 17,
+        scratch_shapes=[
+            pltpu.VMEM((subt, 128), jnp.float32),
+            pltpu.VMEM((subt, 128), jnp.float32),
+            pltpu.VMEM((subt, 128), jnp.float32),
+            pltpu.VMEM((subt, 128), jnp.float32),
+            pltpu.VMEM((subt, 128), jnp.float32),
+            pltpu.SMEM((STACK_CAP,), jnp.int32),
+            pltpu.SMEM((16,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(si, sf, wnodes, tri16, matt, lit, *state, rng_id)
+    return tuple(outs[:16]), outs[16]
+
+
+def _hybrid_sort_key(ox, oy, oz, dx, dy, dz, alive, bb_lo, bb_inv_ext,
+                     coarse_bits: int):
+    """(coarse origin cell | direction octant | fine origin) key, dead rays
+    last — the integrator's resort key on flat component arrays."""
+    from mcpt.bvh import lbvh
+
+    u = jnp.stack([
+        jnp.clip((ox - bb_lo[0]) * bb_inv_ext[0], 0.0, 0.999999),
+        jnp.clip((oy - bb_lo[1]) * bb_inv_ext[1], 0.0, 0.999999),
+        jnp.clip((oz - bb_lo[2]) * bb_inv_ext[2], 0.0, 0.999999),
+    ], axis=-1)
+    m = lbvh.morton30(u)
+    octant = ((dx > 0).astype(jnp.int32) + 2 * (dy > 0).astype(jnp.int32)
+              + 4 * (dz > 0).astype(jnp.int32))
+    fine_bits = min(30 - coarse_bits, 12)
+    coarse = m >> (30 - coarse_bits)
+    fine = (m >> (30 - coarse_bits - fine_bits)) & ((1 << fine_bits) - 1)
+    key = (coarse << (3 + fine_bits)) | (octant << fine_bits) | fine
+    return jnp.where(alive > 0.5, key, jnp.int32(0x7FFFFFFF))
+
+
+def _xla_camera_rays(cam, width, height, pix, sample_idx, seed, total_px):
+    """Camera rays with the megakernel's counter-hash RNG streams, at the
+    XLA level — bit-compatible with the in-kernel ``cam_ray`` so the hybrid
+    pipeline computes the same estimator as the batch-schedule engines."""
+    idx2 = sample_idx * total_px + pix
+    pxi = jax.lax.rem(pix, width)
+    pyi = jax.lax.div(pix, width)
+    fx = pxi.astype(jnp.float32) + mk._u01(seed, jnp.int32(1), idx2)
+    fy = pyi.astype(jnp.float32) + mk._u01(seed, jnp.int32(2), idx2)
+    sx = fx / jnp.float32(width) - 0.5
+    sy = fy / jnp.float32(height) - 0.5
+    half_w = cam.half_width.reshape(())
+    half_h = cam.half_height.reshape(())
+    w_ort = cam.is_ortho.reshape(())
+    off = (2.0 * sx[:, None] * half_w * cam.right.reshape(1, 3)
+           + 2.0 * sy[:, None] * half_h * cam.up.reshape(1, 3))
+    d = cam.forward.reshape(1, 3) + (1.0 - w_ort) * off
+    dd = d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1] + d[:, 2] * d[:, 2]
+    d = d * jax.lax.rsqrt(dd + 1e-20)[:, None]  # ≡ kernel _normalize3
+    o = cam.position.reshape(1, 3) + w_ort * off
+    return jnp.broadcast_to(o, d.shape), d, idx2
+
+
+def render_hybrid(cms: ClusterMegaScene, cam: T.Camera, width: int,
+                  height: int, spp: int, seed, max_depth: int = 8,
+                  rr: bool = False, rr_start: int = 3, nee: bool = False,
+                  mis: bool = False, clamp: float = 0.0,
+                  t_min: float = 1e-4, interpret: bool | None = None,
+                  subt: int = SUBT, coarse_bits: int = 6):
+    """Hybrid fused-bounce render → ((W·H, 3) radiance sum, segments).
+
+    Same contract as ``render_cluster_mega``; the pipeline is
+    ``fused_bounce → coherence re-sort``, repeated ``max_depth`` times.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    from mcpt.render.camera import tile_order
+
+    perm, _ = tile_order(width, height, block=subt * 128)
+    return _render_hybrid_jit(
+        cms.wnodes, cms.tri16, cms.matt, cms.lit, jnp.asarray(perm), cam,
+        width, height, spp, seed, max_depth, rr, rr_start,
+        nee and cms.n_lights > 0, mis, clamp, t_min, interpret,
+        cms.n_clusters, cms.leaf_size, cms.n_mats, cms.n_lights, cms.eps,
+        cms.total_light_area, cms.bb_lo, cms.bb_inv_ext, subt, coarse_bits,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "rr", "rr_start",
+                     "nee", "mis", "clamp", "t_min", "interpret",
+                     "n_clusters", "leaf_size", "n_mats", "n_lights", "eps",
+                     "total_light_area", "bb_lo", "bb_inv_ext", "subt",
+                     "coarse_bits"),
+)
+def _render_hybrid_jit(wnodes, tri16, matt, lit, perm, cam, width, height,
+                       spp, seed, max_depth, rr, rr_start, nee, mis, clamp,
+                       t_min, interpret, n_clusters, leaf_size, n_mats,
+                       n_lights, eps, total_light_area, bb_lo, bb_inv_ext,
+                       subt, coarse_bits):
+    blkt = subt * 128
+    n_px = width * height
+    n_rays = n_px * spp
+    rows = ((n_rays + blkt - 1) // blkt) * subt
+
+    # sample-major pool over tile-permuted pixels (batch-schedule layout)
+    pix = jnp.tile(perm, spp)
+    smp = jnp.repeat(jnp.arange(spp, dtype=jnp.int32), n_px)
+    o, d, rng_id = _xla_camera_rays(cam, width, height, pix, smp,
+                                    jnp.asarray(seed, jnp.int32), n_px)
+
+    def plane(x, fill=0.0):
+        return jnp.pad(x, (0, rows * 128 - n_rays),
+                       constant_values=fill).reshape(rows, 128)
+
+    ones = plane(jnp.ones((n_rays,), jnp.float32))
+    zer = plane(jnp.zeros((n_rays,), jnp.float32))
+    state = (
+        plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
+        plane(d[:, 0], 1.0), plane(d[:, 1]), plane(d[:, 2]),
+        ones, ones, ones,  # throughput
+        zer, zer, zer,  # radiance
+        plane(jnp.ones((n_rays,), jnp.float32)),  # alive (pads dead via 0 fill)
+        zer,  # inside
+        zer, zer,  # prev_sc, prev_pdf
+    )
+    pad_ids = n_rays + jnp.arange(rows * 128 - n_rays, dtype=jnp.int32)
+    rid = jnp.concatenate([rng_id, pad_ids]).reshape(rows, 128)
+    segs_total = jnp.float32(0.0)
+
+    for depth in range(max_depth):
+        st16, segs = _fused_bounce_jit(
+            wnodes, tri16, matt, lit, state, rid, seed, depth, max_depth,
+            rr, rr_start, nee, mis, clamp, t_min, interpret, n_clusters,
+            leaf_size, n_mats, n_lights, eps, total_light_area, subt,
+        )
+        state = st16
+        segs_total = segs_total + jnp.sum(segs)
+        if depth + 1 < max_depth:
+            flat = [x.reshape(-1) for x in state] + [rid.reshape(-1)]
+            key = _hybrid_sort_key(flat[0], flat[1], flat[2], flat[3],
+                                   flat[4], flat[5], flat[12], bb_lo,
+                                   bb_inv_ext, coarse_bits)
+            srt = jax.lax.sort((key, *flat), num_keys=1)
+            state = tuple(x.reshape(rows, 128) for x in srt[1:17])
+            rid = srt[17].reshape(rows, 128)
+
+    # restore (sample, pixel) order by rng_id, then reduce over samples
+    flat = [x.reshape(-1) for x in state[9:12]]
+    srt = jax.lax.sort((rid.reshape(-1), *flat), num_keys=1)
+    rad = jnp.stack([x[:n_rays] for x in srt[1:4]], axis=-1)
+    radiance = rad.reshape(spp, n_px, 3).sum(axis=0)
+    return radiance, segs_total

@@ -378,156 +378,34 @@ def _make_tri_intersectors(static_tris, n_tris_pad, tri_ref, cb_ref, bt_ref,
     return closest, occluded
 
 
-def _render_body(static_mats, use_nee, use_mis, static_lights, regen, sub,
-                 make_intersectors, pixel_override, si_ref, sf_ref, matt_ref,
-                 lit_ref, r_ref, g_ref, b_ref, seg_ref):
-    """One block of ``sub``×128 rays, full path trace.
-
-    Engine-agnostic: the geometry queries come from ``make_intersectors(zeros,
-    row, col, t_min) -> (closest, occluded)`` where ``closest(o…, d…, alive)``
-    returns ``(best_t, nx, ny, nz, mat_id)`` with ``best_t == 3e38`` on miss,
-    and ``occluded(o…, d…, limit, cand)`` returns an f32 occlusion mask.  The
-    dense-table megakernel and the cluster-BVH megakernel share everything
-    else — camera, RNG, materials, NEE/MIS/RR, path regeneration — so the two
-    engines compute the same estimator by construction.  ``pixel_override``
-    (optional callable) supplies per-lane pixel ids (e.g. tile-order
-    permutations for the cluster engine) instead of the linear mapping.
-
-    ``regen=False`` (batch schedule): one lane per (sample, pixel); a lane
-    whose path terminates idles until its whole block retires — average live
-    occupancy over a depth-16 cbox run is ~41%.
-
-    ``regen=True`` (path regeneration): one lane per *pixel*; the moment a
-    lane's path terminates it generates the NEXT sample's camera ray in place
-    (per-lane depth + sample counters), so lanes stay ~fully occupied until
-    the block's final samples drain.  This is the TPU megakernel answer to
-    the dead-lane waste the reference sidesteps with per-work-item early
-    return (``intersect.cl:16-18``) — no repack pass, no atomics: a lane's
-    pixel never changes, so its radiance accumulator is already the per-pixel
-    sample sum the host wants.
-
-    si_ref (SMEM i32): 0 width, 1 height, 2 n_tris, 3 max_depth, 4 seed,
-                       5 rr_enabled, 6 rr_start_depth, 7 n_pixels (this
-                       shard's slice length), 8 n_mats, 9 n_lights,
-                       10 pixel_base (first pixel id of the slice — 0 and
-                       W·H single-chip; a mesh pixel shard passes its own),
-                       11 total pixels (W·H — makes the per-lane RNG counter
-                       globally unique across pixel shards),
-                       12 spp (samples per lane; used when regen)
-    sf_ref (SMEM f32): 0:3 cam pos, 3:6 fwd, 6:9 right, 9:12 up,
-                       12 half_w, 13 half_h, 14 eps, 15 t_min,
-                       16 total light area
-    lit_ref (VMEM, L_pad×16): per emissive triangle — 0:3 v0, 3:6 e1, 6:9 e2,
-                       9:12 emission, 12:15 unit normal, 15 area CDF
-    """
-    blk = pl.program_id(0)
-    width = si_ref[0]
-    max_depth = si_ref[3]
-    seed = si_ref[4]
-
-    # hoisted loop-invariant scalars (unrolled specializations)
+def _make_bounce_core(static_mats, use_nee, use_mis, static_lights,
+                      si_ref, sf_ref, matt_ref, lit_ref,
+                      closest_fn, occluded_fn, zeros, seed):
+    """One path-trace bounce as a reusable closure over the engine's
+    intersectors and tables: intersect → material resolve → emission (with
+    MIS discount) → BSDF sample → NEE shadow → transparent → next ray →
+    termination → Russian roulette.  ``core(st, salt0, pidx, depth_ok,
+    rr_on) -> st`` where ``st = (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr,
+    rg, rb, alive, inside, segs, prev_sc, prev_pdf)`` and the four extra
+    args carry the schedule-specific RNG coordinates and depth/RR gates.
+    Shared verbatim by the megakernel's in-kernel bounce loop (both
+    schedules) and the hybrid fused-bounce pipeline
+    (``cluster_megakernel.fused_bounce``), so all three compute the same
+    estimator by construction."""
     if static_mats is not None:
-        mat_c = [[matt_ref[m, j] for j in range(12)] for m in range(static_mats)]
+        mat_c = [[matt_ref[m, j] for j in range(12)]
+                 for m in range(static_mats)]
     unroll_lights = use_nee and static_lights <= 16
     if unroll_lights:
         lit_c = [[lit_ref[t, j] for j in range(16)]
                  for t in range(static_lights)]
     if use_nee:
         area_l = sf_ref[16]
-
-    n_pixels = si_ref[7]
-    row = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
-    ray_idx = blk * (sub * 128) + row * 128 + col
-    if pixel_override is None:
-        pixel = si_ref[10] + jax.lax.rem(ray_idx, n_pixels)
-    else:
-        pixel = pixel_override()
-    pxi = jax.lax.rem(pixel, width)
-    pyi = jax.lax.div(pixel, width)
-    # RNG counter: globally unique (sample, pixel) id — equal to ray_idx
-    # single-chip, disjoint across mesh pixel shards
-    ray_idx = jax.lax.div(ray_idx, n_pixels) * si_ref[11] + pixel
-
-    # iota-derived zeros: forces a standard (non-replicated) vector layout on
-    # every loop-carry init — broadcast-constant inits trip a Mosaic relayout
-    # bug ("non-singleton dimension replicated in destination") in this kernel
-    zeros = (row + col).astype(jnp.float32) * 0.0
-
-    w_f = width.astype(jnp.float32)
-    h_f = si_ref[1].astype(jnp.float32)
-    half_w = sf_ref[12]
-    half_h = sf_ref[13]
-    # pinhole vs orthographic blend (rayGenerator.cl:13-27; sf[17] = is_ortho)
-    w_ort = sf_ref[17]
-
-    def cam_ray(idx2):
-        """Camera ray for this lane's pixel, RNG stream ``idx2``
-        (rayGenerator.cl:13-27 pinhole/ortho math, jittered)."""
-        fx = pxi.astype(jnp.float32) + _u01(seed, jnp.int32(1), idx2)
-        fy = pyi.astype(jnp.float32) + _u01(seed, jnp.int32(2), idx2)
-        sx = fx / w_f - 0.5
-        sy = fy / h_f - 0.5
-        offx = 2.0 * sx * half_w * sf_ref[6] + 2.0 * sy * half_h * sf_ref[9]
-        offy = 2.0 * sx * half_w * sf_ref[7] + 2.0 * sy * half_h * sf_ref[10]
-        offz = 2.0 * sx * half_w * sf_ref[8] + 2.0 * sy * half_h * sf_ref[11]
-        cdx = sf_ref[3] + (1.0 - w_ort) * offx
-        cdy = sf_ref[4] + (1.0 - w_ort) * offy
-        cdz = sf_ref[5] + (1.0 - w_ort) * offz
-        cdx, cdy, cdz = _normalize3(cdx, cdy, cdz)
-        cox = zeros + sf_ref[0] + w_ort * offx
-        coy = zeros + sf_ref[1] + w_ort * offy
-        coz = zeros + sf_ref[2] + w_ort * offz
-        return cox, coy, coz, cdx, cdy, cdz
-
-    # --- sample-0 camera rays ---
-    ox, oy, oz, dx, dy, dz = cam_ray(ray_idx)
-
     eps = sf_ref[14]
-    t_min = sf_ref[15]
-    closest_fn, occluded_fn = make_intersectors(zeros, row, col, t_min)
-    max_depth_f = max_depth.astype(jnp.float32)
-    spp_s = si_ref[12]
-    spp_f = spp_s.astype(jnp.float32)
-    rr_en = (si_ref[5] > 0).astype(jnp.float32)
-    rr_start_f = si_ref[6].astype(jnp.float32)
 
-    state = (
-        jnp.int32(0),  # iteration counter (== depth when not regen)
-        ox, oy, oz, dx, dy, dz,
-        zeros + 1.0, zeros + 1.0, zeros + 1.0,  # throughput
-        zeros, zeros, zeros,  # radiance
-        zeros + 1.0,  # alive (f32 mask)
-        zeros,  # inside (f32 mask)
-        zeros,  # live-segment counter
-        zeros,  # prev_sc: previous bounce sampled a reflective BSDF (f32)
-        zeros,  # prev_pdf: that sample's solid-angle pdf (for MIS)
-    )
-    if regen:
-        state = state + (
-            zeros,  # per-lane path depth
-            zeros,  # per-lane completed-sample count
-        )
-
-    if regen:
-        def cond(s):
-            it, done_s = s[0], s[19]
-            return (it < spp_s * max_depth) & jnp.any(done_s < spp_f - 0.5)
-    else:
-        def cond(s):
-            depth, alive = s[0], s[13]
-            return (depth < max_depth) & jnp.any(alive > 0.0)
-
-    def bounce(s):
-        if regen:
-            (it, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive,
-             inside, segs, prev_sc, prev_pdf, depth_v, done_s) = s
-            depth = it  # scalar iteration index (RNG salt only when not regen)
-            alive_in = alive
-        else:
-            (depth, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive,
-             inside, segs, prev_sc, prev_pdf) = s
-
+    def core(st, salt0, pidx, depth_ok, rr_on):
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive, inside,
+         segs, prev_sc, prev_pdf) = st
         # ---- intersect + resolve: engine-specific closest-hit query ----
         best_t, nx, ny, nz, mid = closest_fn(ox, oy, oz, dx, dy, dz, alive)
         hit = (best_t < 3.0e38) & (alive > 0.0)
@@ -591,13 +469,6 @@ def _render_body(static_mats, use_nee, use_mis, static_lights, regen, sub,
         rg = rg + jnp.minimum(lmask * tg * kay, clampv)
         rb = rb + jnp.minimum(lmask * tb * kaz, clampv)
 
-        if regen:
-            # per-lane RNG coordinates: the lane's current (sample, depth)
-            salt0 = 8 * depth_v.astype(jnp.int32) + 3
-            pidx = done_s.astype(jnp.int32) * si_ref[11] + pixel
-        else:
-            salt0 = 8 * depth + 3
-            pidx = ray_idx
         u1 = _u01(seed, salt0, pidx)
         u2 = _u01(seed, salt0 + 1, pidx)
         u3 = _u01(seed, salt0 + 2, pidx)
@@ -795,20 +666,12 @@ def _render_body(static_mats, use_nee, use_mis, static_lights, regen, sub,
 
         dead = (~hit) | is_lite | ((is_diff | is_glos) & ~up_ok)
         alive = alive * jnp.where(dead, 0.0, 1.0)
-        # scalar predicates as f32 arithmetic (scalar-pred vector selects hit a
-        # Mosaic relayout bug: "non-singleton dimension replicated in dest")
-        if regen:
-            depth_ok = jnp.where(depth_v + 1.0 < max_depth_f, 1.0, 0.0)
-        else:
-            depth_ok = (depth + 1 < max_depth).astype(jnp.float32)
+        # depth_ok / rr_on are schedule-specific f32 scalars or vectors
+        # computed by the caller (scalar-pred vector selects hit a Mosaic
+        # relayout bug: "non-singleton dimension replicated in dest")
         alive = alive * depth_ok
 
         # ---- Russian roulette (optional; unbiased) ----
-        if regen:
-            rr_on = rr_en * jnp.where(depth_v >= rr_start_f, 1.0, 0.0)
-        else:
-            rr_on = ((si_ref[5] > 0) & (depth >= si_ref[6])).astype(
-                jnp.float32)
         u5 = _u01(seed, salt0 + 4, pidx)
         p_srv = jnp.clip(jnp.maximum(tr, jnp.maximum(tg, tb)), 0.05, 1.0)
         p_srv = p_srv * rr_on + (1.0 - rr_on)
@@ -820,6 +683,171 @@ def _render_body(static_mats, use_nee, use_mis, static_lights, regen, sub,
 
         prev_sc = (is_diff | is_glos).astype(jnp.float32)
         prev_pdf = jnp.where(is_glos, pdf_mix, pdf_d)
+        return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive,
+                inside, segs, prev_sc, prev_pdf)
+
+    return core
+
+
+def _render_body(static_mats, use_nee, use_mis, static_lights, regen, sub,
+                 make_intersectors, pixel_override, si_ref, sf_ref, matt_ref,
+                 lit_ref, r_ref, g_ref, b_ref, seg_ref):
+    """One block of ``sub``×128 rays, full path trace.
+
+    Engine-agnostic: the geometry queries come from ``make_intersectors(zeros,
+    row, col, t_min) -> (closest, occluded)`` where ``closest(o…, d…, alive)``
+    returns ``(best_t, nx, ny, nz, mat_id)`` with ``best_t == 3e38`` on miss,
+    and ``occluded(o…, d…, limit, cand)`` returns an f32 occlusion mask.  The
+    dense-table megakernel and the cluster-BVH megakernel share everything
+    else — camera, RNG, materials, NEE/MIS/RR, path regeneration — so the two
+    engines compute the same estimator by construction.  ``pixel_override``
+    (optional callable) supplies per-lane pixel ids (e.g. tile-order
+    permutations for the cluster engine) instead of the linear mapping.
+
+    ``regen=False`` (batch schedule): one lane per (sample, pixel); a lane
+    whose path terminates idles until its whole block retires — average live
+    occupancy over a depth-16 cbox run is ~41%.
+
+    ``regen=True`` (path regeneration): one lane per *pixel*; the moment a
+    lane's path terminates it generates the NEXT sample's camera ray in place
+    (per-lane depth + sample counters), so lanes stay ~fully occupied until
+    the block's final samples drain.  This is the TPU megakernel answer to
+    the dead-lane waste the reference sidesteps with per-work-item early
+    return (``intersect.cl:16-18``) — no repack pass, no atomics: a lane's
+    pixel never changes, so its radiance accumulator is already the per-pixel
+    sample sum the host wants.
+
+    si_ref (SMEM i32): 0 width, 1 height, 2 n_tris, 3 max_depth, 4 seed,
+                       5 rr_enabled, 6 rr_start_depth, 7 n_pixels (this
+                       shard's slice length), 8 n_mats, 9 n_lights,
+                       10 pixel_base (first pixel id of the slice — 0 and
+                       W·H single-chip; a mesh pixel shard passes its own),
+                       11 total pixels (W·H — makes the per-lane RNG counter
+                       globally unique across pixel shards),
+                       12 spp (samples per lane; used when regen)
+    sf_ref (SMEM f32): 0:3 cam pos, 3:6 fwd, 6:9 right, 9:12 up,
+                       12 half_w, 13 half_h, 14 eps, 15 t_min,
+                       16 total light area
+    lit_ref (VMEM, L_pad×16): per emissive triangle — 0:3 v0, 3:6 e1, 6:9 e2,
+                       9:12 emission, 12:15 unit normal, 15 area CDF
+    """
+    blk = pl.program_id(0)
+    width = si_ref[0]
+    max_depth = si_ref[3]
+    seed = si_ref[4]
+
+    n_pixels = si_ref[7]
+    row = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
+    ray_idx = blk * (sub * 128) + row * 128 + col
+    if pixel_override is None:
+        pixel = si_ref[10] + jax.lax.rem(ray_idx, n_pixels)
+    else:
+        pixel = pixel_override()
+    pxi = jax.lax.rem(pixel, width)
+    pyi = jax.lax.div(pixel, width)
+    # RNG counter: globally unique (sample, pixel) id — equal to ray_idx
+    # single-chip, disjoint across mesh pixel shards
+    ray_idx = jax.lax.div(ray_idx, n_pixels) * si_ref[11] + pixel
+
+    # iota-derived zeros: forces a standard (non-replicated) vector layout on
+    # every loop-carry init — broadcast-constant inits trip a Mosaic relayout
+    # bug ("non-singleton dimension replicated in destination") in this kernel
+    zeros = (row + col).astype(jnp.float32) * 0.0
+
+    w_f = width.astype(jnp.float32)
+    h_f = si_ref[1].astype(jnp.float32)
+    half_w = sf_ref[12]
+    half_h = sf_ref[13]
+    # pinhole vs orthographic blend (rayGenerator.cl:13-27; sf[17] = is_ortho)
+    w_ort = sf_ref[17]
+
+    def cam_ray(idx2):
+        """Camera ray for this lane's pixel, RNG stream ``idx2``
+        (rayGenerator.cl:13-27 pinhole/ortho math, jittered)."""
+        fx = pxi.astype(jnp.float32) + _u01(seed, jnp.int32(1), idx2)
+        fy = pyi.astype(jnp.float32) + _u01(seed, jnp.int32(2), idx2)
+        sx = fx / w_f - 0.5
+        sy = fy / h_f - 0.5
+        offx = 2.0 * sx * half_w * sf_ref[6] + 2.0 * sy * half_h * sf_ref[9]
+        offy = 2.0 * sx * half_w * sf_ref[7] + 2.0 * sy * half_h * sf_ref[10]
+        offz = 2.0 * sx * half_w * sf_ref[8] + 2.0 * sy * half_h * sf_ref[11]
+        cdx = sf_ref[3] + (1.0 - w_ort) * offx
+        cdy = sf_ref[4] + (1.0 - w_ort) * offy
+        cdz = sf_ref[5] + (1.0 - w_ort) * offz
+        cdx, cdy, cdz = _normalize3(cdx, cdy, cdz)
+        cox = zeros + sf_ref[0] + w_ort * offx
+        coy = zeros + sf_ref[1] + w_ort * offy
+        coz = zeros + sf_ref[2] + w_ort * offz
+        return cox, coy, coz, cdx, cdy, cdz
+
+    # --- sample-0 camera rays ---
+    ox, oy, oz, dx, dy, dz = cam_ray(ray_idx)
+
+    t_min = sf_ref[15]
+    closest_fn, occluded_fn = make_intersectors(zeros, row, col, t_min)
+    core = _make_bounce_core(static_mats, use_nee, use_mis, static_lights,
+                             si_ref, sf_ref, matt_ref, lit_ref, closest_fn,
+                             occluded_fn, zeros, seed)
+    max_depth_f = max_depth.astype(jnp.float32)
+    spp_s = si_ref[12]
+    spp_f = spp_s.astype(jnp.float32)
+    rr_en = (si_ref[5] > 0).astype(jnp.float32)
+    rr_start_f = si_ref[6].astype(jnp.float32)
+
+    state = (
+        jnp.int32(0),  # iteration counter (== depth when not regen)
+        ox, oy, oz, dx, dy, dz,
+        zeros + 1.0, zeros + 1.0, zeros + 1.0,  # throughput
+        zeros, zeros, zeros,  # radiance
+        zeros + 1.0,  # alive (f32 mask)
+        zeros,  # inside (f32 mask)
+        zeros,  # live-segment counter
+        zeros,  # prev_sc: previous bounce sampled a reflective BSDF (f32)
+        zeros,  # prev_pdf: that sample's solid-angle pdf (for MIS)
+    )
+    if regen:
+        state = state + (
+            zeros,  # per-lane path depth
+            zeros,  # per-lane completed-sample count
+        )
+
+    if regen:
+        def cond(s):
+            it, done_s = s[0], s[19]
+            return (it < spp_s * max_depth) & jnp.any(done_s < spp_f - 0.5)
+    else:
+        def cond(s):
+            depth, alive = s[0], s[13]
+            return (depth < max_depth) & jnp.any(alive > 0.0)
+
+    def bounce(s):
+        if regen:
+            (it, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive,
+             inside, segs, prev_sc, prev_pdf, depth_v, done_s) = s
+            depth = it  # scalar iteration index (RNG salt only when not regen)
+            alive_in = alive
+        else:
+            (depth, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive,
+             inside, segs, prev_sc, prev_pdf) = s
+
+        if regen:
+            # per-lane RNG coordinates: the lane's current (sample, depth)
+            salt0 = 8 * depth_v.astype(jnp.int32) + 3
+            pidx = done_s.astype(jnp.int32) * si_ref[11] + pixel
+            depth_ok = jnp.where(depth_v + 1.0 < max_depth_f, 1.0, 0.0)
+            rr_on = rr_en * jnp.where(depth_v >= rr_start_f, 1.0, 0.0)
+        else:
+            salt0 = 8 * depth + 3
+            pidx = ray_idx
+            depth_ok = (depth + 1 < max_depth).astype(jnp.float32)
+            rr_on = ((si_ref[5] > 0) & (depth >= si_ref[6])).astype(
+                jnp.float32)
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive, inside,
+         segs, prev_sc, prev_pdf) = core(
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive, inside,
+             segs, prev_sc, prev_pdf), salt0, pidx, depth_ok, rr_on,
+        )
 
         if not regen:
             return (depth + 1, ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,

@@ -65,6 +65,13 @@ class RenderOptions(NamedTuple):
     # original ray order is restored once after the loop (sort by carried
     # index).  Pays on the cluster/BVH path; pointless for brute-force scenes.
     resort: bool = False
+    # Coarse-cell bits of the resort key (3b = 2^b cells per axis).  The goal
+    # is one traversal block ≈ one (cell, octant) bucket: with B-bit cells a
+    # pool of R rays averages R / (2^B · 8) rays per bucket — pick B so that
+    # is ≥ the 4096-ray block size, else blocks mix many direction octants
+    # and the union walk degrades.  6 (4³ cells) fits multi-million-ray
+    # pools; the round-2 default of 15 (32³) left ~14 rays per bucket.
+    resort_coarse_bits: int = 6
 
 
 def _nee_contribution(scene: Scene, lights: Lights, res: shade_mod.ShadeResult,
@@ -124,11 +131,12 @@ class _LoopState(NamedTuple):
     orig_idx: jnp.ndarray  # (R,) i32 — original pool slot (identity unless resort)
 
 
-def _sort_key(pool: RayPool, bb_lo, inv_ext):
-    """Ray coherence key: coarse origin cell (15-bit Morton, 32³ grid) major,
-    direction octant next, fine origin Morton last — rays sharing a traversal
-    block then walk near-identical node sets (same neighbourhood, same
-    descent order).  30 bits total, always positive."""
+def _sort_key(pool: RayPool, bb_lo, inv_ext, coarse_bits: int = 6):
+    """Ray coherence key: coarse origin cell (``coarse_bits``-bit Morton)
+    major, direction octant next, fine origin Morton last — rays sharing a
+    traversal block then walk near-identical node sets (same neighbourhood,
+    same descent order).  ≤30 bits total, always positive.  See
+    ``RenderOptions.resort_coarse_bits`` for how to size the cell grid."""
     from mcpt.bvh import lbvh
 
     u = jnp.clip((pool.origin - bb_lo) * inv_ext, 0.0, 0.999999)
@@ -138,15 +146,18 @@ def _sort_key(pool: RayPool, bb_lo, inv_ext):
         + 2 * (pool.direction[:, 1] > 0).astype(jnp.int32)
         + 4 * (pool.direction[:, 2] > 0).astype(jnp.int32)
     )
-    return ((m >> 15) << 15) | (octant << 12) | ((m >> 3) & 0xFFF)
+    fine_bits = min(30 - coarse_bits, 12)
+    coarse = m >> (30 - coarse_bits)
+    fine = (m >> (30 - coarse_bits - fine_bits)) & ((1 << fine_bits) - 1)
+    return (coarse << (3 + fine_bits)) | (octant << fine_bits) | fine
 
 
 def _resort_pool(pool: RayPool, prev_scatter, prev_pdf, orig_idx,
-                 bb_lo, inv_ext):
+                 bb_lo, inv_ext, coarse_bits: int = 6):
     """Sort the pool by ``_sort_key`` with dead rays keyed to the end.  One
     multi-operand ``lax.sort`` moves the whole ray state with the keys — no
     permutation gather (pathologically slow on TPU)."""
-    key = _sort_key(pool, bb_lo, inv_ext)
+    key = _sort_key(pool, bb_lo, inv_ext, coarse_bits)
     key = jnp.where(pool.alive, key, jnp.int32(0x7FFFFFFF))
     ops = jax.lax.sort(
         (
@@ -241,7 +252,8 @@ def trace(scene: Scene, lights: Lights, pool: RayPool, key: jax.Array,
         prev_scatter, prev_pdf, orig_idx = res.scatter, res.bsdf_pdf, state.orig_idx
         if opts.resort:
             new_pool, prev_scatter, prev_pdf, orig_idx = _resort_pool(
-                new_pool, prev_scatter, prev_pdf, orig_idx, bb_lo, inv_ext
+                new_pool, prev_scatter, prev_pdf, orig_idx, bb_lo, inv_ext,
+                opts.resort_coarse_bits,
             )
         return _LoopState(
             depth=state.depth + 1,

@@ -117,15 +117,20 @@ def measure_vpu_peak(repeats: int = 3) -> float:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    SUB, UNROLL, GRID = 256, 256, 64
+    # ~0.5 TFLOP per timed call so the tunnelled-chip dispatch latency
+    # (tens of ms per round trip) is noise, not the measurement
+    SUB, UNROLL, LOOPS, GRID = 256, 256, 32, 512
 
     def kernel(x_ref, o_ref):
         a = x_ref[0, 0] * 1e-8 + 1.0000001
         b = x_ref[0, 1] * 1e-8 + 1e-9
-        v = x_ref[:]
-        for _ in range(UNROLL):
-            v = v * a + b
-        o_ref[:] = v
+
+        def body(_, v):
+            for _ in range(UNROLL):
+                v = v * a + b
+            return v
+
+        o_ref[:] = jax.lax.fori_loop(0, LOOPS, body, x_ref[:])
 
     @jax.jit
     def run(x):
@@ -142,7 +147,7 @@ def measure_vpu_peak(repeats: int = 3) -> float:
     x = jnp.ones((GRID * SUB, 128), jnp.float32)
     StageTimer.sync(run(x))  # compile + warm
     best = 0.0
-    flops = 2.0 * GRID * SUB * 128 * UNROLL
+    flops = 2.0 * GRID * SUB * 128 * UNROLL * LOOPS
     for _ in range(repeats):
         t0 = time.perf_counter()
         StageTimer.sync(run(x))

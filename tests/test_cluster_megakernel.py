@@ -1,0 +1,75 @@
+"""Fused cluster megakernel vs the dense-table megakernel.
+
+The two engines share ``megakernel._render_body`` (camera, RNG, materials,
+NEE/MIS/RR, regeneration) and differ ONLY in the intersector closures —
+dense triangle loops vs the block-coherent cluster-BVH walk — so on any
+scene both fit, their radiance must agree *bit-for-bit* per pixel (same RNG
+streams, same estimator, same Wald row data; the walk merely skips triangle
+rows that cannot be hit).  This is the strongest cross-check available: a
+traversal bug (missed cluster, wrong normal/material select, bad any-hit
+pruning) breaks exact equality immediately.
+
+Reference counterpart being validated: the fused per-frame loop of
+``OpenCLApp.cpp:57-82`` with the traversal of ``objdef.h:240-275``.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from mcpt.pallas import cluster_megakernel as cmk
+from mcpt.pallas import megakernel as mk
+from mcpt.render import camera as camera_mod
+from mcpt.scene import build_scene
+from mcpt.scenes import boxfield
+
+
+@pytest.fixture(scope="module")
+def small_clustered():
+    loaded, camcfg = boxfield(60)  # 724 tris → clusters are built
+    camcfg = dataclasses.replace(camcfg, resolution=(32, 32))
+    scene, lights = build_scene(loaded)
+    cam = camera_mod.make_camera(camcfg)
+    return (
+        mk.build_megascene(scene, lights),
+        cmk.build_cluster_megascene(scene, lights),
+        cam,
+    )
+
+
+def test_cluster_mega_matches_tri_mega_plain(small_clustered):
+    mega, cms, cam = small_clustered
+    r1, s1 = mk.render_mega(mega, cam, 32, 32, spp=1, seed=7, max_depth=3,
+                            interpret=True, schedule="batch")
+    r2, s2 = cmk.render_cluster_mega(cms, cam, 32, 32, spp=1, seed=7,
+                                     max_depth=3, interpret=True,
+                                     schedule="batch")
+    np.testing.assert_array_equal(np.asarray(r2), np.asarray(r1))
+    assert float(s1) == float(s2)
+
+
+def test_cluster_mega_matches_tri_mega_nee_regen(small_clustered):
+    """Full estimator stack (NEE+MIS+RR) under path regeneration."""
+    mega, cms, cam = small_clustered
+    kw = dict(spp=2, seed=11, max_depth=3, nee=True, mis=True, rr=True,
+              interpret=True, schedule="regen")
+    r1, s1 = mk.render_mega(mega, cam, 32, 32, **kw)
+    r2, s2 = cmk.render_cluster_mega(cms, cam, 32, 32, **kw)
+    np.testing.assert_array_equal(np.asarray(r2), np.asarray(r1))
+    assert float(s1) == float(s2)
+
+
+def test_hybrid_matches_cluster_mega_batch(small_clustered):
+    """The hybrid fused-bounce pipeline (one kernel per bounce + XLA
+    coherence re-sort) must reproduce the batch-schedule cluster megakernel
+    bit-for-bit: the camera rays use the same counter-hash streams (replayed
+    at the XLA level), RNG ids ride the sorts, and the bounce core is the
+    same ``_make_bounce_core`` closure."""
+    mega, cms, cam = small_clustered
+    kw = dict(spp=2, seed=7, max_depth=3, nee=True, mis=True, rr=True,
+              interpret=True)
+    r1, s1 = cmk.render_cluster_mega(cms, cam, 32, 32, schedule="batch", **kw)
+    r2, s2 = cmk.render_hybrid(cms, cam, 32, 32, **kw)
+    np.testing.assert_array_equal(np.asarray(r2), np.asarray(r1))
+    assert float(s1) == float(s2)

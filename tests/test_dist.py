@@ -98,3 +98,40 @@ def test_sharded_deterministic(furnace):
         scene, lights, cam, 16, 16, jax.random.key(3), opts, spp=2, mesh=mesh
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cluster_sharded_matches_single_device():
+    """The fused cluster engine under the ('samples','pixels') mesh (pixel
+    slices of the tile permutation + sample-axis psum; kernel runs in
+    TPU-interpret mode on the CPU mesh) must reproduce the single-chip
+    cluster render for the same total spp and per-sample-shard seeds."""
+    import dataclasses
+
+    from mcpt.pallas import cluster_megakernel as cmk
+    from mcpt.scenes import boxfield
+
+    loaded, camcfg = boxfield(60)
+    w = h = 16
+    camcfg = dataclasses.replace(camcfg, resolution=(w, h))
+    scene, lights = build_scene(loaded)
+    cam = cm.make_camera(camcfg)
+    cms = cmk.build_cluster_megascene(scene, lights)
+
+    mesh = dist.make_mesh(samples=2, pixels=4)
+    rad_sh = np.asarray(dist.render_cluster_sharded(
+        cms, cam, w, h, spp=2, mesh=mesh, seed=5, max_depth=2, nee=True,
+        mis=True, interpret=True,
+    ))
+    assert rad_sh.shape == (w * h, 3)
+    assert np.isfinite(rad_sh).all() and rad_sh.sum() > 0.0
+
+    # single-chip equivalent: sum the two sample-shard renders (batch
+    # schedule, same per-shard seeds)
+    acc = np.zeros_like(rad_sh)
+    for si in range(2):
+        r, _ = cmk.render_cluster_mega(
+            cms, cam, w, h, spp=1, seed=5 + si * 65537 + 1, max_depth=2,
+            nee=True, mis=True, interpret=True, schedule="batch",
+        )
+        acc += np.asarray(r)
+    np.testing.assert_allclose(rad_sh, acc, rtol=1e-5, atol=1e-6)

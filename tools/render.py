@@ -162,6 +162,26 @@ def main(argv=None):
                 clamp=cfg.integrator.clamp, interpret=interp,
             )
             return rad
+    elif engine in ("cluster-mega", "hybrid"):
+        # the fused large-scene engines (mcpt.pallas.cluster_megakernel):
+        # "cluster-mega" keeps whole paths in one kernel; "hybrid" fuses one
+        # bounce per kernel with the inter-bounce coherence re-sort (faster
+        # on deep incoherent workloads — the production large-scene engine)
+        from mcpt.pallas import cluster_megakernel as cmk
+
+        cms = cmk.build_cluster_megascene(scene, lights)
+        interp = jax.default_backend() != "tpu"
+        render_one = (cmk.render_hybrid if engine == "hybrid"
+                      else cmk.render_cluster_mega)
+
+        def render_step(seed_step, step):
+            rad, _ = render_one(
+                cms, cam, width, height, spp=step, seed=seed_step,
+                max_depth=opts.max_depth, rr=opts.russian_roulette,
+                rr_start=opts.rr_start_depth, nee=opts.nee, mis=opts.mis,
+                clamp=cfg.integrator.clamp, interpret=interp,
+            )
+            return rad
     else:
         def render_step(seed_step, step):
             return integ.render_batch(
