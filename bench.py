@@ -167,43 +167,30 @@ def _bench_veach(n_batches: int = 5) -> dict:
 def _bench_large(scene, lights, cam, metric: str, baseline_key: str,
                  width: int, height: int, max_depth: int, nee: bool,
                  spp_per_batch: int, n_batches: int = 5) -> dict:
-    """Shared large-BVH end-to-end bench (wavefront + cluster kernel)."""
-    import functools
-
+    """Shared large-BVH end-to-end bench — the hybrid fused-bounce engine
+    (one Pallas call per bounce fusing closest walk + shade + NEE shadow
+    walk + RR, inter-bounce coherence re-sort; the CLI's ``auto`` engine for
+    scenes past ~6k tris)."""
     import jax
-    import jax.numpy as jnp
 
-    from mcpt.render import camera as camera_mod
-    from mcpt.render import integrator as integ
-    from mcpt.render.integrator import RenderOptions
+    from mcpt.pallas import cluster_megakernel as cmk
 
-    opts = RenderOptions(max_depth=max_depth, method="auto", resort=True,
-                         nee=nee, mis=nee)
+    cms = cmk.build_cluster_megascene(scene, lights)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def step(key):
-        keys = jax.random.split(key, spp_per_batch)
-        perm, _ = camera_mod.tile_order(width, height)
-        pix = jnp.asarray(perm)
-        pools = jax.vmap(
-            lambda k: camera_mod.generate_rays_for_pixels(
-                cam, width, height, pix, key=k, jitter=True
-            )
-        )(keys)
-        flat = jax.tree.map(
-            lambda x: x.reshape((spp_per_batch * width * height,)
-                                + x.shape[2:]), pools
+    def step(seed):
+        return cmk.render_hybrid(
+            cms, cam, width, height, spp=spp_per_batch, seed=seed,
+            max_depth=max_depth, nee=nee, mis=nee,
         )
-        _, segs = integ.trace(scene, lights, flat, key, opts, with_stats=True)
-        return segs
 
-    seg = step(jax.random.key(0))  # warmup + compile
-    jax.block_until_ready(seg)
+    rad, _ = step(0)  # warmup + compile
+    jax.block_until_ready(rad)
 
     rates = []
     for i in range(n_batches):
         t0 = time.time()
-        seg_f = float(step(jax.random.key(i + 1)))
+        _, seg = step(i + 1)
+        seg_f = float(seg)
         rates.append(seg_f / (time.time() - t0))
     mrays = statistics.median(rates) / 1e6
     return {
@@ -230,7 +217,7 @@ def _bench_boxfield(n_batches: int = 5) -> dict:
         scene, lights, cam,
         metric="boxfield 108k-tri 1280x720 depth-8 BVH path tracing",
         baseline_key="boxfield", width=width, height=height,
-        max_depth=8, nee=False, spp_per_batch=4, n_batches=n_batches,
+        max_depth=8, nee=False, spp_per_batch=16, n_batches=n_batches,
     )
 
 
@@ -250,7 +237,7 @@ def _bench_diningroom(n_batches: int = 5) -> dict:
         scene, lights, cam,
         metric="diningroom 96k-tri 1280x720 depth-8 NEE+MIS path tracing",
         baseline_key="diningroom", width=width, height=height,
-        max_depth=8, nee=True, spp_per_batch=4, n_batches=n_batches,
+        max_depth=8, nee=True, spp_per_batch=8, n_batches=n_batches,
     )
 
 

@@ -504,31 +504,46 @@ def _make_bounce_kernel(n_wide, n_clusters, leaf_size, subt, static_mats,
         depth_ok = (depth + 1 < si_ref[3]).astype(jnp.float32)
         rr_on = ((si_ref[5] > 0) & (depth >= si_ref[6])).astype(jnp.float32)
 
-        st = (ox_ref[:], oy_ref[:], oz_ref[:], dx_ref[:], dy_ref[:],
-              dz_ref[:], tr_ref[:], tg_ref[:], tb_ref[:], rr_ref[:],
-              rg_ref[:], rb_ref[:], al_ref[:], in_ref[:],
-              zeros,  # per-call segment counter
-              ps_ref[:], pp_ref[:])
-        st = core(st, salt0, pidx, depth_ok, rr_on)
-        (nox, noy, noz, ndx, ndy, ndz, ntr, ntg, ntb, nrr, nrg, nrb, nal,
-         nin, nsegs, nps, npp) = st
-        oox[:] = nox
-        ooy[:] = noy
-        ooz[:] = noz
-        odx[:] = ndx
-        ody[:] = ndy
-        odz[:] = ndz
-        otr[:] = ntr
-        otg[:] = ntg
-        otb[:] = ntb
-        orr[:] = nrr
-        org[:] = nrg
-        orb[:] = nrb
-        oal[:] = nal
-        oin[:] = nin
-        ops_[:] = nps
-        opp[:] = npp
-        oseg[:] = nsegs
+        # all-dead blocks (the re-sort keys dead rays last, so they pile up
+        # in trailing blocks) pass their state through untouched — the walk
+        # would early-out anyway (poisoned origins), but this also skips the
+        # few-hundred-op shade arithmetic
+        ins = (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tr_ref,
+               tg_ref, tb_ref, rr_ref, rg_ref, rb_ref, al_ref, in_ref,
+               ps_ref, pp_ref)
+        outs = (oox, ooy, ooz, odx, ody, odz, otr, otg, otb, orr, org, orb,
+                oal, oin, ops_, opp)
+        for i_ref, o_ref in zip(ins, outs):
+            o_ref[:] = i_ref[:]
+        oseg[:] = zeros
+
+        @pl.when(jnp.any(al_ref[:] > 0.0))
+        def _live_block():
+            st = (ox_ref[:], oy_ref[:], oz_ref[:], dx_ref[:], dy_ref[:],
+                  dz_ref[:], tr_ref[:], tg_ref[:], tb_ref[:], rr_ref[:],
+                  rg_ref[:], rb_ref[:], al_ref[:], in_ref[:],
+                  zeros,  # per-call segment counter
+                  ps_ref[:], pp_ref[:])
+            st = core(st, salt0, pidx, depth_ok, rr_on)
+            (nox, noy, noz, ndx, ndy, ndz, ntr, ntg, ntb, nrr, nrg, nrb,
+             nal, nin, nsegs, nps, npp) = st
+            oox[:] = nox
+            ooy[:] = noy
+            ooz[:] = noz
+            odx[:] = ndx
+            ody[:] = ndy
+            odz[:] = ndz
+            otr[:] = ntr
+            otg[:] = ntg
+            otb[:] = ntb
+            orr[:] = nrr
+            org[:] = nrg
+            orb[:] = nrb
+            oal[:] = nal
+            oin[:] = nin
+            ops_[:] = nps
+            opp[:] = npp
+            oseg[:] = nsegs
 
     return kernel
 
@@ -644,11 +659,26 @@ def render_hybrid(cms: ClusterMegaScene, cam: T.Camera, width: int,
                   rr: bool = False, rr_start: int = 3, nee: bool = False,
                   mis: bool = False, clamp: float = 0.0,
                   t_min: float = 1e-4, interpret: bool | None = None,
-                  subt: int = SUBT, coarse_bits: int = 6):
+                  subt: int = SUBT, coarse_bits: int = 6,
+                  resort_every: int = 1, compact: tuple | None = None):
     """Hybrid fused-bounce render → ((W·H, 3) radiance sum, segments).
 
     Same contract as ``render_cluster_mega``; the pipeline is
     ``fused_bounce → coherence re-sort``, repeated ``max_depth`` times.
+    ``resort_every=k`` re-sorts only every k-th bounce (coherence decays
+    gradually, the 17-payload sort does not — a measured trade).
+
+    ``compact``: per-depth live-fraction caps (entry d caps the pool
+    entering bounce d+1, as in ``RenderOptions.compact`` /
+    ``integrator.measure_schedule``).  The coherence sort already keys dead
+    rays last, so compaction is a static prefix slice after the sort; the
+    dropped tail's (radiance, rng_id) ride along to the final
+    sample-reduction sort, so no radiance is lost and no scatter is paid.
+    If more paths are live than a cap allows, survivors are Bernoulli
+    roulette-selected (throughput scaled 1/p — unbiased; a too-tight cap
+    costs variance, never bias) with a 3% margin; the astronomically
+    unlikely overflow beyond the margin poisons the segment count with NaN
+    rather than silently biasing the image.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -661,6 +691,7 @@ def render_hybrid(cms: ClusterMegaScene, cam: T.Camera, width: int,
         nee and cms.n_lights > 0, mis, clamp, t_min, interpret,
         cms.n_clusters, cms.leaf_size, cms.n_mats, cms.n_lights, cms.eps,
         cms.total_light_area, cms.bb_lo, cms.bb_inv_ext, subt, coarse_bits,
+        resort_every, compact,
     )
 
 
@@ -670,13 +701,13 @@ def render_hybrid(cms: ClusterMegaScene, cam: T.Camera, width: int,
                      "nee", "mis", "clamp", "t_min", "interpret",
                      "n_clusters", "leaf_size", "n_mats", "n_lights", "eps",
                      "total_light_area", "bb_lo", "bb_inv_ext", "subt",
-                     "coarse_bits"),
+                     "coarse_bits", "resort_every", "compact"),
 )
 def _render_hybrid_jit(wnodes, tri16, matt, lit, perm, cam, width, height,
                        spp, seed, max_depth, rr, rr_start, nee, mis, clamp,
                        t_min, interpret, n_clusters, leaf_size, n_mats,
                        n_lights, eps, total_light_area, bb_lo, bb_inv_ext,
-                       subt, coarse_bits):
+                       subt, coarse_bits, resort_every=1, compact=None):
     blkt = subt * 128
     n_px = width * height
     n_rays = n_px * spp
@@ -706,7 +737,11 @@ def _render_hybrid_jit(wnodes, tri16, matt, lit, perm, cam, width, height,
     pad_ids = n_rays + jnp.arange(rows * 128 - n_rays, dtype=jnp.int32)
     rid = jnp.concatenate([rng_id, pad_ids]).reshape(rows, 128)
     segs_total = jnp.float32(0.0)
+    seed_i = jnp.asarray(seed, jnp.int32)
 
+    rows0 = rows
+    cur_rows = rows
+    tails = []  # dropped (rid, r, g, b) flats — joined at the final reduce
     for depth in range(max_depth):
         st16, segs = _fused_bounce_jit(
             wnodes, tri16, matt, lit, state, rid, seed, depth, max_depth,
@@ -715,18 +750,56 @@ def _render_hybrid_jit(wnodes, tri16, matt, lit, perm, cam, width, height,
         )
         state = st16
         segs_total = segs_total + jnp.sum(segs)
-        if depth + 1 < max_depth:
+        if depth + 1 < max_depth and (depth + 1) % resort_every == 0:
+            cap_rows = cur_rows
+            if compact is not None:
+                frac = compact[min(depth, len(compact) - 1)]
+                cap_rows = max(subt, -(-int(frac * rows0) // subt) * subt)
+                cap_rows = min(cur_rows, cap_rows)
+            if cap_rows < cur_rows:
+                # Bernoulli roulette down to the cap (no-op while the live
+                # count fits: p = 1).  Survivor throughput scales 1/p.
+                alive = state[12] > 0.0
+                live = jnp.sum(alive.astype(jnp.float32))
+                p = jnp.minimum(
+                    1.0, 0.97 * (cap_rows * 128) / jnp.maximum(live, 1.0)
+                )
+                u = mk._u01(seed_i, jnp.int32(1009 + depth), rid)
+                kf = (alive & (u < p)).astype(jnp.float32)
+                inv_p = 1.0 / p
+                state = (state[:6]
+                         + tuple(t * inv_p for t in state[6:9])
+                         + state[9:12] + (kf,) + state[13:])
             flat = [x.reshape(-1) for x in state] + [rid.reshape(-1)]
             key = _hybrid_sort_key(flat[0], flat[1], flat[2], flat[3],
                                    flat[4], flat[5], flat[12], bb_lo,
                                    bb_inv_ext, coarse_bits)
             srt = jax.lax.sort((key, *flat), num_keys=1)
-            state = tuple(x.reshape(rows, 128) for x in srt[1:17])
-            rid = srt[17].reshape(rows, 128)
+            state = tuple(x.reshape(cur_rows, 128) for x in srt[1:17])
+            rid = srt[17].reshape(cur_rows, 128)
+            if cap_rows < cur_rows:
+                # dead rays sorted last → the dropped tail is all-dead; its
+                # accumulated radiance rides to the final reduce.  A live ray
+                # in the tail (possible only if the 3% Bernoulli margin is
+                # blown — P < 1e-200) poisons the segment count instead of
+                # silently biasing the image.
+                tail_alive = jnp.sum(state[12][cap_rows:, :])
+                segs_total = segs_total + jnp.where(
+                    tail_alive > 0.0, jnp.float32(jnp.nan), 0.0
+                )
+                tails.append(tuple(
+                    x[cap_rows:, :].reshape(-1)
+                    for x in (rid, state[9], state[10], state[11])
+                ))
+                state = tuple(x[:cap_rows, :] for x in state)
+                rid = rid[:cap_rows, :]
+                cur_rows = cap_rows
 
     # restore (sample, pixel) order by rng_id, then reduce over samples
-    flat = [x.reshape(-1) for x in state[9:12]]
-    srt = jax.lax.sort((rid.reshape(-1), *flat), num_keys=1)
+    parts = tails + [(rid.reshape(-1), state[9].reshape(-1),
+                      state[10].reshape(-1), state[11].reshape(-1))]
+    cat = [jnp.concatenate([p[i] for p in parts]) for i in range(4)]
+    srt = jax.lax.sort(tuple(cat), num_keys=1)
     rad = jnp.stack([x[:n_rays] for x in srt[1:4]], axis=-1)
     radiance = rad.reshape(spp, n_px, 3).sum(axis=0)
     return radiance, segs_total

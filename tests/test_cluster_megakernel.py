@@ -60,6 +60,39 @@ def test_cluster_mega_matches_tri_mega_nee_regen(small_clustered):
     assert float(s1) == float(s2)
 
 
+def test_hybrid_compact_loose_caps_bit_equal(small_clustered):
+    """Compaction with caps that never bind (p stays 1) is a pure pool
+    shrink over all-dead sorted tails — the radiance must be BIT-equal to
+    the uncompacted hybrid (same blocks, same RNG, same reduce set)."""
+    mega, cms, cam = small_clustered
+    kw = dict(spp=2, seed=7, max_depth=4, interpret=True)
+    r1, s1 = cmk.render_hybrid(cms, cam, 32, 32, **kw)
+    r2, s2 = cmk.render_hybrid(cms, cam, 32, 32,
+                               compact=(1.0, 1.0, 1.0), **kw)
+    np.testing.assert_array_equal(np.asarray(r2), np.asarray(r1))
+    assert float(s1) == float(s2)
+
+
+def test_hybrid_compact_tight_caps_unbiased(small_clustered):
+    """Caps below the live count trigger Bernoulli roulette (1/p throughput
+    scaling): the mean radiance must agree with the uncompacted render
+    within Monte-Carlo tolerance, and the segment count must stay finite
+    (the NaN canary only fires if a live ray is dropped)."""
+    mega, cms, cam = small_clustered
+    kw = dict(spp=4, seed=3, max_depth=4, interpret=True)
+    r1, s1 = cmk.render_hybrid(cms, cam, 32, 32, **kw)
+    # boxfield(60) at 32² is an open scene: most rays miss at depth 1, so a
+    # 0.25 cap genuinely subselects the survivors
+    r2, s2 = cmk.render_hybrid(cms, cam, 32, 32,
+                               compact=(0.25, 0.25, 0.25), **kw)
+    assert np.isfinite(float(s2))
+    m1 = float(np.mean(np.asarray(r1)))
+    m2 = float(np.mean(np.asarray(r2)))
+    assert abs(m2 - m1) / max(m1, 1e-9) < 0.15
+    # fewer pool rows traced → compacted render must not trace MORE segments
+    assert float(s2) <= float(s1)
+
+
 def test_hybrid_matches_cluster_mega_batch(small_clustered):
     """The hybrid fused-bounce pipeline (one kernel per bounce + XLA
     coherence re-sort) must reproduce the batch-schedule cluster megakernel

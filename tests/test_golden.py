@@ -28,7 +28,7 @@ from tools.compare import compare  # noqa: E402
 _GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 
-def _gate(name, w, h, spp, depth, tol, seed=5):
+def _gate(name, w, h, spp, depth, tol, seed=5, method="auto"):
     golden = im.read_exr_rgb(os.path.join(_GOLDEN_DIR, f"{name}.exr"))[::-1]
     loaded, camcfg = getattr(scenes, name)()
     camcfg = dataclasses.replace(camcfg, resolution=(w, h))
@@ -36,7 +36,7 @@ def _gate(name, w, h, spp, depth, tol, seed=5):
 
     scene, lights = build_scene(loaded)
     cam = cm.make_camera(camcfg)
-    opts = RenderOptions(max_depth=depth, nee=True, mis=True, method="auto")
+    opts = RenderOptions(max_depth=depth, nee=True, mis=True, method=method)
     fb = integ.render(scene, lights, cam, w, h, opts, spp=spp, seed=seed,
                       spp_per_step=spp)
     img = integ.framebuffer_image(fb, w, h)
@@ -59,3 +59,19 @@ def test_veach_golden_gate():
     # glossy highlights dominate the variance: 32 spp measures ~0.21 rel-RMSE
     # (means agree to 1.3%); gate leaves ~1.4x headroom
     _gate("veach_mis", 192, 128, spp=32, depth=8, tol=0.30)
+
+
+@pytest.mark.slow
+def test_diningroom_golden_gate():
+    """The reference's third workload class (large BVH, NEE from small
+    emitters; ``Scene/diningroom/diningroom.exr`` is its course golden).
+    The committed golden is a 2048-spp TPU render through the CLUSTER
+    engine (``tools/make_goldens.py``); this gate re-renders at low spp
+    through the wavefront integrator's XLA stack-walk intersector — a
+    fully independent RNG + traversal + shading path."""
+    golden_path = os.path.join(_GOLDEN_DIR, "diningroom.exr")
+    if not os.path.exists(golden_path):
+        pytest.skip("diningroom golden not rendered yet (tools/make_goldens)")
+    # method="bvh": the XLA batched-stack walk is CPU-native (the cluster
+    # kernel would run under the slow Pallas interpreter at this scale)
+    _gate("diningroom", 160, 90, spp=8, depth=8, tol=0.35, method="bvh")

@@ -19,10 +19,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 GOLDENS = [
-    # (scene builder name, width, height, spp, max_depth, nee, mis)
-    ("cornell_box", 128, 128, 2048, 16, True, True),
-    ("veach_mis", 192, 128, 2048, 8, True, True),
-    ("quad_light_plane", 128, 128, 2048, 6, True, True),
+    # (scene builder name, width, height, spp, max_depth, nee, mis, engine)
+    ("cornell_box", 128, 128, 2048, 16, True, True, "mega"),
+    ("veach_mis", 192, 128, 2048, 8, True, True, "mega"),
+    ("quad_light_plane", 128, 128, 2048, 6, True, True, "mega"),
+    # the reference's third workload class (large BVH, NEE from small
+    # emitters) rendered through the CLUSTER engine — the golden the
+    # diningroom gate checks the wavefront path against
+    ("diningroom", 160, 90, 2048, 8, True, True, "hybrid"),
 ]
 
 
@@ -40,20 +44,37 @@ def main() -> int:
         os.path.abspath(__file__))), "tests", "goldens")
     os.makedirs(out_dir, exist_ok=True)
 
-    for name, w, h, spp, depth, nee, mis in GOLDENS:
+    for name, w, h, spp, depth, nee, mis, engine in GOLDENS:
         loaded, camcfg = getattr(scenes, name)()
         camcfg = dataclasses.replace(camcfg, resolution=(w, h))
         scene, lights = build_scene(loaded)
         cam = camera_mod.make_camera(camcfg)
-        mega = mk.build_megascene(scene, lights)
+        if engine == "hybrid":
+            from mcpt.pallas import cluster_megakernel as cmk
+
+            cms = cmk.build_cluster_megascene(scene, lights)
+
+            def render_step(s0, n):
+                rad, _ = cmk.render_hybrid(
+                    cms, cam, w, h, spp=n, seed=1000 + s0,
+                    max_depth=depth, nee=nee, mis=mis,
+                )
+                return rad
+        else:
+            mega = mk.build_megascene(scene, lights)
+
+            def render_step(s0, n):
+                rad, _ = mk.render_mega(
+                    mega, cam, w, h, spp=n, seed=1000 + s0,
+                    max_depth=depth, nee=nee, mis=mis,
+                )
+                return rad
+
         t0 = time.time()
         total = None
         step = 256
         for s0 in range(0, spp, step):
-            rad, _ = mk.render_mega(
-                mega, cam, w, h, spp=min(step, spp - s0), seed=1000 + s0,
-                max_depth=depth, nee=nee, mis=mis,
-            )
+            rad = render_step(s0, min(step, spp - s0))
             total = rad if total is None else total + rad
         import numpy as np
 

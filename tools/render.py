@@ -137,9 +137,10 @@ def main(argv=None):
     engine = cfg.engine
     if engine == "auto":
         # measured crossover (docs/PERF_NOTES.md, boxfield sweep): the fused
-        # megakernel (chunk-culled fori tier) beats the wavefront cluster
-        # pipeline up to ~6k triangles; past that the cluster BVH wins
-        engine = "mega" if scene.n_tris <= 6000 else "wavefront"
+        # megakernel (chunk-culled fori tier) beats everything up to ~6k
+        # triangles; past that the hybrid fused-bounce cluster engine wins
+        # (round-3 sweep: 11.1 Mrays/s at 12k vs 4.4 wavefront at 108k)
+        engine = "mega" if scene.n_tris <= 6000 else "hybrid"
     if engine != "mega":
         from mcpt.render import traverse as trv
 
