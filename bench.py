@@ -174,13 +174,23 @@ def _bench_large(scene, lights, cam, metric: str, baseline_key: str,
     import jax
 
     from mcpt.pallas import cluster_megakernel as cmk
+    from mcpt.render import integrator as integ
 
     cms = cmk.build_cluster_megascene(scene, lights)
+    # pilot-measured unbiased pool-compaction schedule (shrinks the
+    # inter-bounce sort + pool as paths die; ≈no-op caps on closed scenes)
+    sched = integ.measure_schedule(
+        scene, lights, cam,
+        # method="bvh": the XLA stack walk needs no Pallas compile for the
+        # small pilot shapes (live fractions are intersector-independent)
+        integ.RenderOptions(max_depth=max_depth, nee=nee, mis=nee,
+                            method="bvh"),
+    )
 
     def step(seed):
         return cmk.render_hybrid(
             cms, cam, width, height, spp=spp_per_batch, seed=seed,
-            max_depth=max_depth, nee=nee, mis=nee,
+            max_depth=max_depth, nee=nee, mis=nee, compact=sched,
         )
 
     rad, _ = step(0)  # warmup + compile

@@ -754,7 +754,21 @@ def _render_hybrid_jit(wnodes, tri16, matt, lit, perm, cam, width, height,
             cap_rows = cur_rows
             if compact is not None:
                 frac = compact[min(depth, len(compact) - 1)]
-                cap_rows = max(subt, -(-int(frac * rows0) // subt) * subt)
+                # quantize the cap up to a pow2 × {1, 1.25, 1.5, 1.75} grid:
+                # every distinct pool size compiles its own bounce-kernel
+                # specialization, so bound the shape count (≤2 per octave,
+                # ≤14% size overshoot) instead of honoring exact fractions
+                want = max(1.0, frac * rows0)
+                import math as _m
+
+                oct_ = _m.floor(_m.log2(want))
+                cap_rows = cur_rows
+                for mult in (1.0, 1.25, 1.5, 1.75, 2.0):
+                    lvl = (2 ** oct_) * mult
+                    if lvl >= want:
+                        cap_rows = int(lvl)
+                        break
+                cap_rows = max(subt, -(-cap_rows // subt) * subt)
                 cap_rows = min(cur_rows, cap_rows)
             if cap_rows < cur_rows:
                 # Bernoulli roulette down to the cap (no-op while the live

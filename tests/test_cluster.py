@@ -89,6 +89,34 @@ def test_closest_hit_matches_brute(bf):
     )
 
 
+def test_cut_merged_closest_hit_matches_brute(bf):
+    """The packed (fine-cut + greedy DFS-merge) clustering is a different
+    triangle partition; traversal over it must still reproduce the brute
+    hit set exactly."""
+    scene, _, cam, loaded = bf
+    from mcpt.pallas import traverse_kernel as tk
+
+    plan = cluster_mod.plan_clusters(loaded.verts, bvh=scene.bvh, packed=True)
+    fill = float(plan.valid.mean())
+    assert fill > 0.66  # packs tighter than the plain cut on this scene
+    cl = cluster_mod.build_clusters(
+        loaded.verts, np.asarray(scene.geom.normals), loaded.mat_id,
+        bvh=scene.bvh, plan=plan,
+    )
+    pool = cm.generate_rays(cam, 32, 24, key=jax.random.key(2), jitter=True)
+    hit_b = traverse.intersect_wald(
+        scene.wald, scene.geom, pool.origin, pool.direction
+    )
+    hit_c = tk.intersect_clusters(
+        cl, pool.origin, pool.direction, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(hit_b.tri), np.asarray(hit_c.tri))
+    tb = np.asarray(hit_b.t)
+    tc = np.asarray(hit_c.t)
+    m = np.isfinite(tb)
+    np.testing.assert_allclose(tb[m], tc[m], rtol=1e-6)
+
+
 def test_active_mask_and_any_hit(bf):
     scene, _, cam, _ = bf
     from mcpt.pallas import traverse_kernel as tk

@@ -174,13 +174,21 @@ def main(argv=None):
         interp = jax.default_backend() != "tpu"
         render_one = (cmk.render_hybrid if engine == "hybrid"
                       else cmk.render_cluster_mega)
+        extra = {}
+        if engine == "hybrid" and not interp:
+            # pilot-measured unbiased pool compaction (shrinks the
+            # inter-bounce sort/pool as paths die; ~no-op on closed scenes)
+            extra["compact"] = integ.measure_schedule(
+                scene, lights, cam,
+                opts._replace(method="bvh"),
+            )
 
         def render_step(seed_step, step):
             rad, _ = render_one(
                 cms, cam, width, height, spp=step, seed=seed_step,
                 max_depth=opts.max_depth, rr=opts.russian_roulette,
                 rr_start=opts.rr_start_depth, nee=opts.nee, mis=opts.mis,
-                clamp=cfg.integrator.clamp, interpret=interp,
+                clamp=cfg.integrator.clamp, interpret=interp, **extra,
             )
             return rad
     else:
