@@ -34,6 +34,8 @@ def main() -> int:
     import jax
 
     from mcpt import runtime, scenes
+
+    only = set(sys.argv[1:])  # optional scene-name filter: render only these
     from mcpt.io import image as im
     from mcpt.pallas import megakernel as mk
     from mcpt.render import camera as camera_mod
@@ -45,6 +47,8 @@ def main() -> int:
     os.makedirs(out_dir, exist_ok=True)
 
     for name, w, h, spp, depth, nee, mis, engine in GOLDENS:
+        if only and name not in only:
+            continue
         loaded, camcfg = getattr(scenes, name)()
         camcfg = dataclasses.replace(camcfg, resolution=(w, h))
         scene, lights = build_scene(loaded)
