@@ -90,12 +90,14 @@ def plan_clusters(
     bvh=None,
     optimize_top: bool = True,
     packed: bool = False,
+    dp: bool = False,
 ) -> ClusterPlan:
     """Topology-only half of ``build_clusters`` (see its docstring).
 
     With ``bvh``: ``packed=False`` cuts maximal ≤leaf_size subtrees (tight
     boxes, partial fill); ``packed=True`` chunks the tree's DFS leaf order
-    into always-full clusters (``_cut_packed``)."""
+    into always-full clusters (``_cut_packed``); ``dp=True`` picks the
+    SAH-optimal cut by dynamic programming (``_cut_tree_dp``)."""
     v = np.asarray(verts, np.float32).reshape(-1, 3, 3)
     n = v.shape[0]
     t = int(leaf_size)
@@ -105,6 +107,9 @@ def plan_clusters(
         if packed:
             nodes, order_p, valid = _cut_merged(bvh, tri_min, tri_max, n, t,
                                                 optimize_top)
+        elif dp:
+            ratio = DEFAULT_DP_RATIO if dp is True else float(dp)
+            nodes, order_p, valid = _cut_tree_dp(bvh, n, t, ratio)
         else:
             nodes, order_p, valid = _cut_tree(bvh, n, t)
     else:
@@ -330,6 +335,72 @@ def _top_over_chunks(order, tri_min, tri_max, n, t, optimize_top: bool):
     return nodes, order_p, valid
 
 
+def _node_areas(bvh) -> np.ndarray:
+    bbmin = np.asarray(bvh.bbmin)
+    bbmax = np.asarray(bvh.bbmax)
+    d = np.maximum(bbmax - bbmin, 0.0)
+    return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+
+# C_visit/C_node ratio for the DP cut: how much a cluster *visit* (a full
+# 32-row Wald test over the block) costs relative to one binary top-tree
+# internal node's share of the walk.  With the plain SAH constants
+# (1 : 1.2 < 1) the DP provably reduces to the maximal cut (splitting a node
+# charges C_INN·A(v) > C_TRI·A(v) before the children's leaf costs are even
+# added), so the kernel-calibrated ratio must be > 1 for the DP to differ.
+DEFAULT_DP_RATIO = 3.0
+
+
+def _cut_tree_dp(bvh, n, t, ratio: float = DEFAULT_DP_RATIO):
+    """Cost-*optimal* cut of the per-triangle BVH into ≤t-triangle clusters.
+
+    ``_cut_tree`` cuts at *maximal* ≤t subtrees — the coarsest legal cut.
+    But the kernel tests every popped cluster's 32 rows at constant cost, so
+    total leaf cost ∝ Σ A(cluster) (the measured cost model,
+    docs/PERF_NOTES.md round-3 §8): when a subtree holds two well-separated
+    clumps, cutting *finer* shrinks Σ A(leaf) by more than the added
+    top-tree internals cost.  Bottom-up DP over the plan-SAH objective with
+    a kernel-calibrated leaf weight ``C_LEAF = ratio · C_INN``:
+
+        cost[v] = min( C_LEAF·A(v)                       [if count(v) ≤ t]
+                     , C_INN·A(v) + cost[l] + cost[r] )  [if internal]
+
+    then the cut is the argmin frontier.  O(N), host numpy.
+    """
+    from mcpt.bvh.metrics import C_INN
+
+    c_leaf = float(ratio) * C_INN
+    left = np.asarray(bvh.left)
+    right = np.asarray(bvh.right)
+    leaf_base = n - 1
+    counts = _subtree_counts(bvh, n)
+    area = _node_areas(bvh)
+
+    cost = np.zeros(2 * n - 1, np.float64)
+    cut_here = np.zeros(2 * n - 1, bool)
+    cut_here[leaf_base:] = True
+    cost[leaf_base:] = c_leaf * area[leaf_base:]
+    # bottom-up over internals (postorder via explicit stack)
+    stack = [(0, False)]
+    while stack:
+        v, expanded = stack.pop()
+        if v >= leaf_base:
+            continue
+        if not expanded:
+            stack.append((v, True))
+            stack.append((left[v], False))
+            stack.append((right[v], False))
+            continue
+        c_split = C_INN * area[v] + cost[left[v]] + cost[right[v]]
+        c_cut = c_leaf * area[v] if counts[v] <= t else np.inf
+        if c_cut <= c_split:
+            cost[v] = c_cut
+            cut_here[v] = True
+        else:
+            cost[v] = c_split
+    return _materialize_cut(bvh, n, t, lambda v: cut_here[v])
+
+
 def _cut_tree(bvh, n, t):
     """Cut the per-triangle binary LBVH at maximal ≤t-triangle subtrees.
 
@@ -338,23 +409,26 @@ def _cut_tree(bvh, n, t):
     re-packed into the standard [internals, leaves] layout so
     ``collapse_wide`` consumes it unchanged.
     """
+    counts = _subtree_counts(bvh, n)
+    return _materialize_cut(bvh, n, t, lambda v: counts[v] <= t)
+
+
+def _materialize_cut(bvh, n, t, cut_pred):
+    """Collect the cut frontier (preorder, ``cut_pred(v)`` decides) and emit
+    (nodes, order_p, valid): the contracted top tree + cluster triangle
+    lists.  Shared tail of ``_cut_tree`` / ``_cut_tree_dp``."""
     left = np.asarray(bvh.left)
     right = np.asarray(bvh.right)
     bbmin = np.asarray(bvh.bbmin)
     bbmax = np.asarray(bvh.bbmax)
     leaf_base = n - 1
 
-    # subtree triangle counts, bottom-up (children of a Karras internal node
-    # are NOT index-ordered, so an explicit postorder)
-    counts = _subtree_counts(bvh, n)
-
-    # cut: preorder DFS; a node with ≤t triangles becomes a cluster
     cut = []  # binary node id per cluster
     inner = []  # contracted internal nodes, preorder (root first)
     stack = [0]
     while stack:
         v = stack.pop()
-        if counts[v] <= t:
+        if cut_pred(v):
             cut.append(v)
         else:
             inner.append(v)

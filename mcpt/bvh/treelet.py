@@ -99,13 +99,16 @@ def optimize_treelets(bvh: BVH, max_leaves: int = MAX_LEAVES,
             from mcpt import native
 
             if native.available():
-                # np.array(copy=True): jax CPU arrays expose zero-copy
-                # READ-ONLY views; the native optimizer mutates in place
-                bbmin = np.array(bvh.bbmin, np.float32)
-                bbmax = np.array(bvh.bbmax, np.float32)
-                left = np.array(bvh.left, np.int32)
-                right = np.array(bvh.right, np.int32)
-                parent = np.array(bvh.parent, np.int32)
+                # owned, C-ORDER copies: jax CPU arrays expose zero-copy
+                # READ-ONLY views, and np.array's default order='K' copy of a
+                # 2-D jax array is NOT C-contiguous (which used to trip the
+                # binding's layout assert and silently fall back to the slow
+                # numpy path); the native optimizer mutates in place
+                bbmin = np.array(bvh.bbmin, np.float32, order="C")
+                bbmax = np.array(bvh.bbmax, np.float32, order="C")
+                left = np.array(bvh.left, np.int32, order="C")
+                right = np.array(bvh.right, np.int32, order="C")
+                parent = np.array(bvh.parent, np.int32, order="C")
                 native.treelet_optimize_native(bbmin, bbmax, left, right,
                                                parent)
                 return BVH(

@@ -145,7 +145,25 @@ def build_scene(loaded: LoadedObject, bvhtype: str = "hlbvh"):
         # materialization (the expensive half) runs once, for the winner.
         nrm = np.asarray(geom.normals)
         p_morton = cluster_mod.plan_clusters(loaded.verts)
-        p_cut = cluster_mod.plan_clusters(loaded.verts, bvh=bvh)
+        # Plan the cut on a treelet-OPTIMIZED copy of the tree: restructuring
+        # tightens the ≤32-tri subtrees the cut inherits (diningroom cut SAH
+        # 39.1 → 31.5, −19% total box area at equal cluster count — round-4
+        # measurement).  Planning-only: scene.bvh keeps the configured
+        # bvhtype.  Native-gated (the numpy fallback costs minutes at 100k
+        # tris on a 1-CPU host; the native optimizer costs ~0.15 s).
+        plan_bvh = bvh
+        if bvhtype in ("", "hlbvh", "lbvh"):
+            try:
+                from mcpt import native
+                from mcpt.bvh import treelet as treelet_mod
+
+                if native.available():
+                    plan_bvh = treelet_mod.optimize_treelets(
+                        bvh, use_native="always"
+                    )
+            except Exception:
+                plan_bvh = bvh
+        p_cut = cluster_mod.plan_clusters(loaded.verts, bvh=plan_bvh, dp=True)
         best = (
             p_morton
             if cluster_mod.plan_sah(p_morton) <= cluster_mod.plan_sah(p_cut)

@@ -36,7 +36,9 @@ def test_builder_invariants(bf):
     n = scene.n_tris
     t = cl.leaf_size
     c = cl.n_clusters
-    assert c == (n + t - 1) // t
+    # the SAH-picked plan may cut finer than full-fill Morton chunks, but
+    # never needs fewer clusters than perfect packing
+    assert c >= (n + t - 1) // t
     assert cl.tri16.shape == (c * t, 16)
     # every triangle appears in exactly one valid row
     tri_map = np.asarray(cl.tri_map)
