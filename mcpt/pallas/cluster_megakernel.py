@@ -695,29 +695,80 @@ def render_hybrid(cms: ClusterMegaScene, cam: T.Camera, width: int,
     )
 
 
+def _compaction_schedule(rows0, max_depth, resort_every, compact, subt):
+    """Static per-depth pool heights: ``rows_at[d]`` is the pool height the
+    depth-d bounce runs at.  Caps quantize up to a pow2 × {1, 1.25, 1.5,
+    1.75} grid — every distinct pool size compiles its own bounce-kernel
+    specialization, so bound the shape count (≤2 per octave, ≤14% size
+    overshoot) instead of honoring exact fractions."""
+    import math as _m
+
+    rows_at = []
+    cur_rows = rows0
+    for depth in range(max_depth):
+        rows_at.append(cur_rows)
+        if depth + 1 < max_depth and (depth + 1) % resort_every == 0:
+            if compact is not None:
+                frac = compact[min(depth, len(compact) - 1)]
+                want = max(1.0, frac * rows0)
+                oct_ = _m.floor(_m.log2(want))
+                cap_rows = cur_rows
+                for mult in (1.0, 1.25, 1.5, 1.75, 2.0):
+                    lvl = (2 ** oct_) * mult
+                    if lvl >= want:
+                        cap_rows = int(lvl)
+                        break
+                cap_rows = max(subt, -(-cap_rows // subt) * subt)
+                cur_rows = min(cur_rows, cap_rows)
+    return rows_at
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "rr", "rr_start",
                      "nee", "mis", "clamp", "t_min", "interpret",
                      "n_clusters", "leaf_size", "n_mats", "n_lights", "eps",
                      "total_light_area", "bb_lo", "bb_inv_ext", "subt",
-                     "coarse_bits", "resort_every", "compact"),
+                     "coarse_bits", "resort_every", "compact", "sample_base"),
 )
 def _render_hybrid_jit(wnodes, tri16, matt, lit, perm, cam, width, height,
                        spp, seed, max_depth, rr, rr_start, nee, mis, clamp,
                        t_min, interpret, n_clusters, leaf_size, n_mats,
                        n_lights, eps, total_light_area, bb_lo, bb_inv_ext,
-                       subt, coarse_bits, resort_every=1, compact=None):
+                       subt, coarse_bits, resort_every=1, compact=None,
+                       sample_base=0):
+    """The hybrid pipeline body.
+
+    ``perm`` holds this call's (globally-ided) pixels — the full tile
+    permutation single-chip, or one shard's slice under
+    ``mcpt.dist.render_hybrid_sharded``; ``sample_base`` offsets the sample
+    indices (a ``samples``-axis shard renders samples
+    ``[sample_base, sample_base + spp)`` of the global schedule, with the
+    same per-(sample, pixel) RNG streams as a single-chip render of all
+    samples).  The returned (n_px, 3) radiance sum follows ascending pixel
+    id *within this call's pixel set*.
+
+    Bounces are grouped into ``lax.scan`` segments of equal pool height, so
+    the Pallas bounce kernel compiles once per DISTINCT height instead of
+    once per depth (round-3's 8 specializations ≈ 48 MB XLA program,
+    15-18 min cold — the dominant compile cost).  The in-scan Bernoulli
+    roulette runs with p = 1 (an exact no-op: u < 1 always, throughput × 1.0
+    is exact in f32) except on segment-boundary steps, so interior steps
+    compute bit-identical state to the round-3 unrolled loop.
+    """
     blkt = subt * 128
-    n_px = width * height
+    n_px = perm.shape[0]
+    n_px_total = width * height
     n_rays = n_px * spp
     rows = ((n_rays + blkt - 1) // blkt) * subt
 
     # sample-major pool over tile-permuted pixels (batch-schedule layout)
     pix = jnp.tile(perm, spp)
-    smp = jnp.repeat(jnp.arange(spp, dtype=jnp.int32), n_px)
+    smp = jnp.repeat(
+        sample_base + jnp.arange(spp, dtype=jnp.int32), n_px
+    )
     o, d, rng_id = _xla_camera_rays(cam, width, height, pix, smp,
-                                    jnp.asarray(seed, jnp.int32), n_px)
+                                    jnp.asarray(seed, jnp.int32), n_px_total)
 
     def plane(x, fill=0.0):
         return jnp.pad(x, (0, rows * 128 - n_rays),
@@ -734,80 +785,101 @@ def _render_hybrid_jit(wnodes, tri16, matt, lit, perm, cam, width, height,
         zer,  # inside
         zer, zer,  # prev_sc, prev_pdf
     )
-    pad_ids = n_rays + jnp.arange(rows * 128 - n_rays, dtype=jnp.int32)
+    # pad-lane reduce ids: start past every real (sample, pixel) id so the
+    # final rid sort keeps them behind real rays (single-chip this equals the
+    # legacy ``n_rays + arange`` ids; sharded it must clear the GLOBAL id
+    # range, which exceeds the local n_rays)
+    pad_base = (sample_base + spp) * n_px_total
+    pad_ids = pad_base + jnp.arange(rows * 128 - n_rays, dtype=jnp.int32)
     rid = jnp.concatenate([rng_id, pad_ids]).reshape(rows, 128)
     segs_total = jnp.float32(0.0)
     seed_i = jnp.asarray(seed, jnp.int32)
 
-    rows0 = rows
-    cur_rows = rows
-    tails = []  # dropped (rid, r, g, b) flats — joined at the final reduce
-    for depth in range(max_depth):
+    rows_at = _compaction_schedule(rows, max_depth, resort_every, compact,
+                                   subt)
+
+    def bounce_sort_step(carry, x):
+        """One scan step: fused bounce, roulette toward the step's live cap
+        (p = 1 ⇒ exact no-op), coherence re-sort (gated by resort_every)."""
+        state, rid, segs_total = carry
+        depth, live_cap, sort_on = x
         st16, segs = _fused_bounce_jit(
             wnodes, tri16, matt, lit, state, rid, seed, depth, max_depth,
             rr, rr_start, nee, mis, clamp, t_min, interpret, n_clusters,
             leaf_size, n_mats, n_lights, eps, total_light_area, subt,
         )
-        state = st16
         segs_total = segs_total + jnp.sum(segs)
-        if depth + 1 < max_depth and (depth + 1) % resort_every == 0:
-            cap_rows = cur_rows
-            if compact is not None:
-                frac = compact[min(depth, len(compact) - 1)]
-                # quantize the cap up to a pow2 × {1, 1.25, 1.5, 1.75} grid:
-                # every distinct pool size compiles its own bounce-kernel
-                # specialization, so bound the shape count (≤2 per octave,
-                # ≤14% size overshoot) instead of honoring exact fractions
-                want = max(1.0, frac * rows0)
-                import math as _m
+        alive = st16[12] > 0.0
+        live = jnp.sum(alive.astype(jnp.float32))
+        p = jnp.minimum(1.0, live_cap / jnp.maximum(live, 1.0))
+        u = mk._u01(seed_i, jnp.int32(1009) + depth, rid)
+        kf = (alive & (u < p)).astype(jnp.float32)
+        inv_p = 1.0 / p
+        state = (st16[:6]
+                 + tuple(t * inv_p for t in st16[6:9])
+                 + st16[9:12] + (kf,) + st16[13:])
 
-                oct_ = _m.floor(_m.log2(want))
-                cap_rows = cur_rows
-                for mult in (1.0, 1.25, 1.5, 1.75, 2.0):
-                    lvl = (2 ** oct_) * mult
-                    if lvl >= want:
-                        cap_rows = int(lvl)
-                        break
-                cap_rows = max(subt, -(-cap_rows // subt) * subt)
-                cap_rows = min(cur_rows, cap_rows)
-            if cap_rows < cur_rows:
-                # Bernoulli roulette down to the cap (no-op while the live
-                # count fits: p = 1).  Survivor throughput scales 1/p.
-                alive = state[12] > 0.0
-                live = jnp.sum(alive.astype(jnp.float32))
-                p = jnp.minimum(
-                    1.0, 0.97 * (cap_rows * 128) / jnp.maximum(live, 1.0)
-                )
-                u = mk._u01(seed_i, jnp.int32(1009 + depth), rid)
-                kf = (alive & (u < p)).astype(jnp.float32)
-                inv_p = 1.0 / p
-                state = (state[:6]
-                         + tuple(t * inv_p for t in state[6:9])
-                         + state[9:12] + (kf,) + state[13:])
+        def do_sort(state, rid):
             flat = [x.reshape(-1) for x in state] + [rid.reshape(-1)]
             key = _hybrid_sort_key(flat[0], flat[1], flat[2], flat[3],
                                    flat[4], flat[5], flat[12], bb_lo,
                                    bb_inv_ext, coarse_bits)
             srt = jax.lax.sort((key, *flat), num_keys=1)
-            state = tuple(x.reshape(cur_rows, 128) for x in srt[1:17])
-            rid = srt[17].reshape(cur_rows, 128)
-            if cap_rows < cur_rows:
-                # dead rays sorted last → the dropped tail is all-dead; its
-                # accumulated radiance rides to the final reduce.  A live ray
-                # in the tail (possible only if the 3% Bernoulli margin is
-                # blown — P < 1e-200) poisons the segment count instead of
-                # silently biasing the image.
-                tail_alive = jnp.sum(state[12][cap_rows:, :])
-                segs_total = segs_total + jnp.where(
-                    tail_alive > 0.0, jnp.float32(jnp.nan), 0.0
-                )
-                tails.append(tuple(
-                    x[cap_rows:, :].reshape(-1)
-                    for x in (rid, state[9], state[10], state[11])
-                ))
-                state = tuple(x[:cap_rows, :] for x in state)
-                rid = rid[:cap_rows, :]
-                cur_rows = cap_rows
+            h = state[0].shape[0]
+            return (tuple(x.reshape(h, 128) for x in srt[1:17]),
+                    srt[17].reshape(h, 128))
+
+        state, rid = jax.lax.cond(sort_on, do_sort,
+                                  lambda state, rid: (state, rid),
+                                  state, rid)
+        return (state, rid, segs_total), None
+
+    def run_segment(state, rid, segs_total, d0, d1):
+        """Scan depths [d0, d1) at one pool height (ONE kernel compile)."""
+        depths = jnp.arange(d0, d1, dtype=jnp.int32)
+        # live cap for the roulette: +inf (p = 1, exact no-op) on interior
+        # steps; on the last step of a shrinking segment, 97% of the next
+        # segment's lane count (the 3% Bernoulli margin)
+        caps = np.full(d1 - d0, np.inf, np.float32)
+        nxt = rows_at[d1] if d1 < max_depth else rows_at[-1]
+        if d1 < max_depth and nxt < rows_at[d0]:
+            caps[-1] = 0.97 * nxt * 128
+        sort_on = np.array(
+            [((dd + 1) % resort_every == 0) or (dd + 1 == max_depth and
+                                                nxt < rows_at[d0])
+             for dd in range(d0, d1)], bool,
+        )
+        (state, rid, segs_total), _ = jax.lax.scan(
+            bounce_sort_step, (state, rid, segs_total),
+            (depths, jnp.asarray(caps), jnp.asarray(sort_on)),
+        )
+        return state, rid, segs_total
+
+    tails = []  # dropped (rid, r, g, b) flats — joined at the final reduce
+    d0 = 0
+    while d0 < max_depth:
+        d1 = d0 + 1
+        while d1 < max_depth and rows_at[d1] == rows_at[d0]:
+            d1 += 1
+        state, rid, segs_total = run_segment(state, rid, segs_total, d0, d1)
+        if d1 < max_depth and rows_at[d1] < rows_at[d0]:
+            cap_rows = rows_at[d1]
+            # dead rays sorted last → the dropped tail is all-dead; its
+            # accumulated radiance rides to the final reduce.  A live ray
+            # in the tail (possible only if the 3% Bernoulli margin is
+            # blown — P < 1e-200) poisons the segment count instead of
+            # silently biasing the image.
+            tail_alive = jnp.sum(state[12][cap_rows:, :])
+            segs_total = segs_total + jnp.where(
+                tail_alive > 0.0, jnp.float32(jnp.nan), 0.0
+            )
+            tails.append(tuple(
+                x[cap_rows:, :].reshape(-1)
+                for x in (rid, state[9], state[10], state[11])
+            ))
+            state = tuple(x[:cap_rows, :] for x in state)
+            rid = rid[:cap_rows, :]
+        d0 = d1
 
     # restore (sample, pixel) order by rng_id, then reduce over samples
     parts = tails + [(rid.reshape(-1), state[9].reshape(-1),
