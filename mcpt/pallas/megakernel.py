@@ -137,12 +137,31 @@ CHUNK_TRIS = 16
 
 def _make_render_kernel(static_tris: int | None, static_mats: int | None,
                         use_nee: bool, use_mis: bool, static_lights: int,
-                        regen: bool, n_tris_pad: int):
+                        regen: bool, n_tris_pad: int,
+                        count_rows: bool = False):
+    if count_rows:
+        # instrumented variant: one extra output accumulating live-lane
+        # triangle-row tests in the culled fori tier (the honest flop count
+        # behind bench.py's mfu_veach — the static 44·T_rows model is an
+        # upper bound by the chunk-cull skip rate)
+        def kernel(si_ref, sf_ref, tri_ref, matt_ref, lit_ref, cb_ref, r_ref,
+                   g_ref, b_ref, seg_ref, trow_ref, bt_ref, bi_ref, occ_ref):
+            make = functools.partial(
+                _make_tri_intersectors, static_tris, n_tris_pad, tri_ref,
+                cb_ref, bt_ref, bi_ref, occ_ref, trow_ref,
+            )
+            return _render_body(static_mats, use_nee, use_mis, static_lights,
+                                regen, SUB, make, None, si_ref, sf_ref,
+                                matt_ref, lit_ref, r_ref, g_ref, b_ref,
+                                seg_ref)
+
+        return kernel
+
     def kernel(si_ref, sf_ref, tri_ref, matt_ref, lit_ref, cb_ref, r_ref,
                g_ref, b_ref, seg_ref, bt_ref, bi_ref, occ_ref):
         make = functools.partial(
             _make_tri_intersectors, static_tris, n_tris_pad, tri_ref, cb_ref,
-            bt_ref, bi_ref, occ_ref,
+            bt_ref, bi_ref, occ_ref, None,
         )
         return _render_body(static_mats, use_nee, use_mis, static_lights,
                             regen, SUB, make, None, si_ref, sf_ref, matt_ref,
@@ -152,7 +171,7 @@ def _make_render_kernel(static_tris: int | None, static_mats: int | None,
 
 
 def _make_tri_intersectors(static_tris, n_tris_pad, tri_ref, cb_ref, bt_ref,
-                           bi_ref, occ_ref, zeros, row, col, t_min):
+                           bi_ref, occ_ref, trow_ref, zeros, row, col, t_min):
     """The megakernel's dense triangle-table intersectors (see
     ``_render_body``'s ``make_intersectors`` contract): a fully-unrolled tier
     for ≤``UNROLL_MAX_TRIS`` scenes, else chunk-unrolled fori loops over
@@ -162,6 +181,8 @@ def _make_tri_intersectors(static_tris, n_tris_pad, tri_ref, cb_ref, bt_ref,
     # hoisted loop-invariant per-triangle scalars (unrolled specialization)
     if static_tris is not None:
         tri_c = [[tri_ref[t, j] for j in range(16)] for t in range(static_tris)]
+    if trow_ref is not None:
+        trow_ref[:] = zeros  # live-lane row tests (instrumented builds only)
 
     def closest(ox, oy, oz, dx, dy, dz, alive):
         def tri_body(t, acc):
@@ -264,6 +285,8 @@ def _make_tri_intersectors(static_tris, n_tris_pad, tri_ref, cb_ref, bt_ref,
                         acc = tri_body(base + j, acc)
                     bt_ref[:] = acc[0]
                     bi_ref[:] = acc[1]
+                    if trow_ref is not None:
+                        trow_ref[:] = trow_ref[:] + alive * float(CHUNK_TRIS)
 
                 return carry
 
@@ -368,6 +391,10 @@ def _make_tri_intersectors(static_tris, n_tris_pad, tri_ref, cb_ref, bt_ref,
                         o, shadow_test(c).astype(jnp.float32)
                     )
                 occ_ref[:] = o
+                if trow_ref is not None:
+                    trow_ref[:] = (trow_ref[:]
+                                   + seg_live.astype(jnp.float32)
+                                   * float(CHUNK_TRIS))
 
             return carry
 
@@ -1023,7 +1050,7 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
                 clamp: float = 0.0, t_min: float = 1e-4,
                 interpret: bool = False, pixel_base=0,
                 pixel_count: int | None = None,
-                schedule: str = "auto"):
+                schedule: str = "auto", count_rows: bool = False):
     """Render spp samples → ((pixel_count, 3) radiance sum, segments).
 
     ``schedule`` picks the lane scheduling: ``"regen"`` — one lane per pixel,
@@ -1036,7 +1063,13 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
     ``pixel_base``/``pixel_count`` select a contiguous pixel slice (defaults:
     the whole image) — the spatial-sharding hook for
     ``mcpt.dist.render_mega_sharded`` (pixel_base may be traced, e.g. a mesh
-    axis index)."""
+    axis index).
+
+    ``count_rows=True`` (instrumented builds, fori tier only): returns a
+    third value — the live-lane triangle-row tests actually executed after
+    chunk-AABB culling.  This is the honest flop numerator for bench.py's
+    MFU model (the static ``44·T_rows`` count is an upper bound by the
+    measured skip rate)."""
     if pixel_count is None:
         pixel_count = width * height
     if schedule == "auto":
@@ -1051,12 +1084,15 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
             f"{_BOUNCE_LOOP!r}); use schedule='batch'"
         )
     assert schedule in ("regen", "batch"), schedule
+    if count_rows:
+        assert mega.n_tris > UNROLL_MAX_TRIS, \
+            "count_rows instruments the culled fori tier only"
     return _render_mega_jit(
         mega.tri, mega.matt, mega.lit, mega.cbox, cam, width, height, spp,
         seed, max_depth, rr, rr_start, nee and mega.n_lights > 0, mis, clamp,
         t_min, interpret, mega.n_tris, mega.n_mats, mega.n_lights, mega.eps,
         mega.total_light_area, pixel_base, pixel_count,
-        schedule == "regen",
+        schedule == "regen", count_rows,
     )
 
 
@@ -1065,12 +1101,13 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
     static_argnames=("width", "height", "spp", "max_depth", "rr", "rr_start",
                      "nee", "mis", "clamp", "t_min", "interpret", "n_tris",
                      "n_mats", "n_lights", "eps", "total_light_area",
-                     "pixel_count", "regen"),
+                     "pixel_count", "regen", "count_rows"),
 )
 def _render_mega_jit(tri, matt, lit, cb, cam, width, height, spp, seed,
                      max_depth, rr, rr_start, nee, mis, clamp, t_min,
                      interpret, n_tris, n_mats, n_lights, eps,
-                     total_light_area, pixel_base, pixel_count, regen=False):
+                     total_light_area, pixel_base, pixel_count, regen=False,
+                     count_rows=False):
     n_pixels = pixel_count
     n_rays = n_pixels if regen else n_pixels * spp
     n_blocks = (n_rays + BLK - 1) // BLK
@@ -1103,21 +1140,22 @@ def _render_mega_jit(tri, matt, lit, cb, cam, width, height, spp, seed,
     ).astype(jnp.float32)
 
     grid = (n_blocks,)
+    n_out = 5 if count_rows else 4
     out_shape = [
         jax.ShapeDtypeStruct((n_blocks * SUB, 128), jnp.float32)
-        for _ in range(4)
+        for _ in range(n_out)
     ]
     out_specs = [
         pl.BlockSpec((SUB, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        for _ in range(4)
+        for _ in range(n_out)
     ]
     static_tris = n_tris if n_tris <= UNROLL_MAX_TRIS else None
     static_mats = n_mats if n_mats <= 64 else None
     if static_tris is None:
         assert tri.shape[0] % CHUNK_TRIS == 0, tri.shape
-    r, g, b, segs = pl.pallas_call(
+    outs = pl.pallas_call(
         _make_render_kernel(static_tris, static_mats, nee, mis, n_lights,
-                            regen, tri.shape[0]),
+                            regen, tri.shape[0], count_rows),
         grid=grid,
         out_shape=out_shape,
         in_specs=[
@@ -1139,6 +1177,7 @@ def _render_mega_jit(tri, matt, lit, cb, cam, width, height, spp, seed,
         # bool True → the TPU interpreter (supports pltpu prims on CPU hosts)
         interpret=pltpu.InterpretParams() if interpret else False,
     )(si, sf, tri, matt, lit, cb)
+    r, g, b, segs = outs[:4]
 
     rad = jnp.stack(
         [r.reshape(-1)[:n_rays], g.reshape(-1)[:n_rays], b.reshape(-1)[:n_rays]],
@@ -1149,4 +1188,6 @@ def _render_mega_jit(tri, matt, lit, cb, cam, width, height, spp, seed,
     else:
         radiance = rad.reshape(spp, n_pixels, 3).sum(axis=0)
     segments = jnp.sum(segs.reshape(-1)[:n_rays])
+    if count_rows:
+        return radiance, segments, jnp.sum(outs[4].reshape(-1)[:n_rays])
     return radiance, segments

@@ -130,6 +130,52 @@ def test_megakernel_chunked_fori_matches_unrolled(monkeypatch):
     assert float(segs_c) == float(segs_n)
 
 
+def test_count_rows_instrumentation(monkeypatch):
+    """``count_rows=True`` (the honest-MFU counter for bench.py): radiance
+    and segments are bit-identical to the uninstrumented render, the row
+    count is positive, bounded by the no-cull total, and EQUAL to it when
+    culling is disabled (infinite chunk boxes ⇒ every live lane tests every
+    row)."""
+    import jax.numpy as jnp
+
+    loaded, camcfg = cornell_box()
+    scene, lights = build_scene(loaded)
+    w, h = 24, 16
+    camcfg = dataclasses.replace(camcfg, resolution=(w, h))
+    cam = cm.make_camera(camcfg)
+    kw = dict(spp=2, seed=3, max_depth=4, nee=True, mis=True, interpret=True)
+
+    monkeypatch.setattr(mk, "UNROLL_MAX_TRIS", 8)
+    mk._render_mega_jit.clear_cache()
+    mega = mk.build_megascene(scene, lights)
+    rad0, segs0 = mk.render_mega(mega, cam, w, h, **kw)
+    rad1, segs1, trows = mk.render_mega(mega, cam, w, h, count_rows=True,
+                                        **kw)
+    np.testing.assert_array_equal(np.asarray(rad0), np.asarray(rad1))
+    assert float(segs0) == float(segs1)
+    assert 0.0 < float(trows) <= float(segs0) * mega.tri.shape[0]
+
+    # culling off, plain BSDF mode (no shadow loop — its tested-row count
+    # legitimately shrinks as lanes occlude mid-loop): every live closest
+    # segment tests the full padded table, so the counter is EXACT
+    c = mega.tri.shape[0] // mk.CHUNK_TRIS
+    big = np.zeros((c, 8), np.float32)
+    big[:, 0:3] = -3.0e38
+    big[:, 3:6] = 3.0e38
+    kw_plain = dict(kw, nee=False, mis=False)
+    nocull = mega._replace(cbox=jnp.asarray(big))
+    _, segs_n, trows_n = mk.render_mega(nocull, cam, w, h, count_rows=True,
+                                        **kw_plain)
+    _, _, trows_c = mk.render_mega(mega, cam, w, h, count_rows=True,
+                                   **kw_plain)
+    mk._render_mega_jit.clear_cache()
+    assert float(trows_n) == float(segs_n) * mega.tri.shape[0]
+    # culling never ADDS tests; on the enclosing cbox every block overlaps
+    # every chunk box, so equality is legitimate here (the real skip rate
+    # is a bench-time measurement on veach: bench.py _rows_tested_per_seg)
+    assert float(trows_c) <= float(trows_n)
+
+
 @pytest.mark.slow
 def test_regen_schedule_matches_batch():
     """Path regeneration (one lane per pixel, in-kernel next-sample restart)

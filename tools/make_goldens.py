@@ -34,12 +34,17 @@ def main() -> int:
     import jax
 
     from mcpt import runtime, scenes
-
-    only = set(sys.argv[1:])  # optional scene-name filter: render only these
     from mcpt.io import image as im
     from mcpt.pallas import megakernel as mk
     from mcpt.render import camera as camera_mod
     from mcpt.scene import build_scene
+
+    only = set(sys.argv[1:])  # optional scene-name filter: render only these
+    unknown = only - {g[0] for g in GOLDENS}
+    if unknown:
+        # fail fast: a typo must not silently render nothing and exit 0
+        # (that can make a stale golden look regenerated)
+        sys.exit(f"unknown scenes: {sorted(unknown)}")
 
     runtime.enable_compile_cache()
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
