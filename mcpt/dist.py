@@ -299,3 +299,97 @@ def render_cluster_sharded(
     # out rows follow the (padded) tile permutation; rows ≥ n are the padding
     # duplicates — inv_perm indexes each pixel's unique row in the first n
     return out[jnp.asarray(inv_perm)]
+
+
+def render_hybrid_sharded(
+    cms,
+    cam: Camera,
+    width: int,
+    height: int,
+    spp: int,
+    mesh: Mesh,
+    seed: int = 0,
+    max_depth: int = 8,
+    nee: bool = False,
+    mis: bool = False,
+    rr: bool = False,
+    interpret: bool = False,
+    subt: int | None = None,
+    coarse_bits: int = 6,
+    resort_every: int = 1,
+    compact: tuple | None = None,
+    key_mode: str = "auto",
+):
+    """Sharded *hybrid fused-bounce* engine — the production large-scene path
+    (``cluster_megakernel.render_hybrid``) over the ("samples", "pixels")
+    mesh.  BASELINE.md's diningroom target row ("progressive 4 spp/step
+    sharded over v5p-8 mesh") lands here; the reference counterpart being
+    exceeded is one in-order queue (``oclbasic.cpp:14,117``).
+
+    Sharding layout:
+
+    - ``pixels`` axis: each shard owns a contiguous slice of the square-tile
+      pixel permutation (shards keep traversal-block coherence), and runs the
+      full bounce pipeline — fused bounce kernel, inter-bounce coherence
+      re-sort, pool compaction — entirely shard-locally.
+    - ``samples`` axis: shard ``si`` renders global sample indices
+      ``[si·spp/|samples|, (si+1)·spp/|samples|)`` via the engine's
+      ``sample_base`` hook, with the SAME seed — so every (sample, pixel) RNG
+      stream matches the single-chip schedule exactly, and the radiance
+      ``psum`` over samples is the only collective in the program.
+
+    Returns ``((W·H, 3) radiance sum over all spp, total segments traced)``;
+    radiance rows are in pixel order (sharded over ``pixels``).
+    """
+    from mcpt.pallas import cluster_megakernel as cmk
+    from mcpt.pallas.traverse_kernel import SUBT
+
+    if subt is None:
+        subt = SUBT
+    key_mode = cmk.resolve_key_mode(key_mode, compact)
+    d_s = mesh.shape["samples"]
+    d_p = mesh.shape["pixels"]
+    assert spp % d_s == 0, (spp, d_s)
+    spp_local = spp // d_s
+    n = width * height
+    perm, _ = camera_mod.tile_order(width, height, block=subt * 128)
+    n_pad = _pad_to(n, d_p)
+    perm_pad = np.pad(perm, (0, n_pad - n), mode="edge")
+    local_n = n_pad // d_p
+    # the hybrid returns each shard's slice in ascending-pixel-id order (its
+    # final reduce sorts by global (sample, pixel) rng id) — build the global
+    # row→pixel map and its first-occurrence inverse (edge-padding duplicates
+    # render identical streams, so either copy is valid)
+    order = np.concatenate([
+        np.sort(perm_pad[i * local_n:(i + 1) * local_n])
+        for i in range(d_p)
+    ])
+    inv = np.zeros(n, np.int64)
+    inv[order[::-1]] = np.arange(order.shape[0])[::-1]
+
+    def step(wnodes, tri16, matt, lit, cam_, pix_local):
+        si = jax.lax.axis_index("samples")
+        cms_local = cms._replace(wnodes=wnodes, tri16=tri16, matt=matt,
+                                 lit=lit)
+        rad, segs = cmk._render_hybrid_jit(
+            cms_local.wnodes, cms_local.tri16, cms_local.matt, cms_local.lit,
+            pix_local, cam_, width, height, spp_local, seed, max_depth, rr,
+            3, nee and cms.n_lights > 0, mis, 0.0, 1e-4, interpret,
+            cms.n_clusters, cms.leaf_size, cms.n_mats, cms.n_lights, cms.eps,
+            cms.total_light_area, cms.bb_lo, cms.bb_inv_ext, subt,
+            coarse_bits, resort_every, compact,
+            sample_base=si * spp_local, key_mode=key_mode,
+        )
+        return (jax.lax.psum(rad, axis_name="samples"),
+                jax.lax.psum(segs, axis_name=("samples", "pixels")))
+
+    out, segs = jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P("pixels")),
+            out_specs=(P("pixels"), P()),
+            check_vma=False,
+        )
+    )(cms.wnodes, cms.tri16, cms.matt, cms.lit, cam, jnp.asarray(perm_pad))
+    return out[jnp.asarray(inv)], segs

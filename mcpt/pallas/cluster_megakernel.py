@@ -36,6 +36,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mcpt.pallas._interp import interp_mode
+
 from mcpt import types as T
 from mcpt.bvh.cluster import ClusterBVH
 from mcpt.pallas import megakernel as mk
@@ -440,7 +442,7 @@ def _render_cluster_jit(wnodes, tri16, matt, lit, pix, cam, width, height,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
-        interpret=pltpu.InterpretParams() if interpret else False,
+        interpret=interp_mode(interpret),
     )(si, sf, wnodes, tri16, matt, lit, pix_full)
 
     rad = jnp.stack(
@@ -605,15 +607,29 @@ def _fused_bounce_jit(wnodes, tri16, matt, lit, state, rng_id, seed, depth,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
-        interpret=pltpu.InterpretParams() if interpret else False,
+        interpret=interp_mode(interpret),
     )(si, sf, wnodes, tri16, matt, lit, *state, rng_id)
     return tuple(outs[:16]), outs[16]
 
 
 def _hybrid_sort_key(ox, oy, oz, dx, dy, dz, alive, bb_lo, bb_inv_ext,
-                     coarse_bits: int):
-    """(coarse origin cell | direction octant | fine origin) key, dead rays
-    last — the integrator's resort key on flat component arrays."""
+                     coarse_bits: int, key_mode: str = "cell"):
+    """Coherence key on flat component arrays, dead rays last.
+
+    ``key_mode`` (measured knob, diningroom d8 NEE+MIS spp8 1280×720 — see
+    docs/PERF_NOTES.md round 4):
+
+    - ``"cell"``: (coarse origin cell | direction octant | fine origin) —
+      the round-3 key; groups rays by where they START.  5.01 Mrays/s.
+    - ``"dir"``: (direction octant | coarse cell | fine origin) — groups by
+      where rays POINT first; for interior diffuse bounces the pointed-at
+      geometry can predict the block's traversal union better than the
+      origin cell.  5.20 Mrays/s.
+    - ``"dir6"``: like ``"dir"`` with 2 direction bits per axis (a 6-bit
+      direction cell that subsumes the octant).  **7.91 Mrays/s** (+58%
+      over the round-3 key): interior bounce blocks become near-cone-pure,
+      so the shared-stack walk's per-block cluster union collapses.
+    """
     from mcpt.bvh import lbvh
 
     u = jnp.stack([
@@ -627,7 +643,19 @@ def _hybrid_sort_key(ox, oy, oz, dx, dy, dz, alive, bb_lo, bb_inv_ext,
     fine_bits = min(30 - coarse_bits, 12)
     coarse = m >> (30 - coarse_bits)
     fine = (m >> (30 - coarse_bits - fine_bits)) & ((1 << fine_bits) - 1)
-    key = (coarse << (3 + fine_bits)) | (octant << fine_bits) | fine
+    if key_mode == "cell":
+        key = (coarse << (3 + fine_bits)) | (octant << fine_bits) | fine
+    elif key_mode == "dir":
+        key = ((octant << (coarse_bits + fine_bits)) | (coarse << fine_bits)
+               | fine)
+    elif key_mode == "dir6":
+        def q2(c):  # 2-bit direction cell per axis, c in [-1, 1]
+            return jnp.clip(((c + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+        d6 = (q2(dx) << 4) | (q2(dy) << 2) | q2(dz)
+        key = ((d6 << (coarse_bits + fine_bits)) | (coarse << fine_bits)
+               | fine)
+    else:  # pragma: no cover - guarded by static arg validation
+        raise ValueError(f"unknown key_mode {key_mode!r}")
     return jnp.where(alive > 0.5, key, jnp.int32(0x7FFFFFFF))
 
 
@@ -654,13 +682,28 @@ def _xla_camera_rays(cam, width, height, pix, sample_idx, seed, total_px):
     return jnp.broadcast_to(o, d.shape), d, idx2
 
 
+def resolve_key_mode(key_mode: str, compact: tuple | None) -> str:
+    """``"auto"`` → ``"dir6"``/``"cell"`` from the pilot live fractions.
+
+    Rays surviving deep (closed interiors — diningroom) → the walk is
+    dominated by direction-incoherent diffuse bounces → direction-first
+    keys; rays dying fast (open scenes — boxfield) → origin-first keys.
+    See ``render_hybrid``'s docstring for the measured A/B.
+    """
+    if key_mode != "auto":
+        return key_mode
+    live = tuple(compact) if compact else ()
+    return "dir6" if (not live or min(live) >= 0.8) else "cell"
+
+
 def render_hybrid(cms: ClusterMegaScene, cam: T.Camera, width: int,
                   height: int, spp: int, seed, max_depth: int = 8,
                   rr: bool = False, rr_start: int = 3, nee: bool = False,
                   mis: bool = False, clamp: float = 0.0,
                   t_min: float = 1e-4, interpret: bool | None = None,
                   subt: int = SUBT, coarse_bits: int = 6,
-                  resort_every: int = 1, compact: tuple | None = None):
+                  resort_every: int = 1, compact: tuple | None = None,
+                  key_mode: str = "auto"):
     """Hybrid fused-bounce render → ((W·H, 3) radiance sum, segments).
 
     Same contract as ``render_cluster_mega``; the pipeline is
@@ -679,9 +722,19 @@ def render_hybrid(cms: ClusterMegaScene, cam: T.Camera, width: int,
     costs variance, never bias) with a 3% margin; the astronomically
     unlikely overflow beyond the margin poisons the segment count with NaN
     rather than silently biasing the image.
+
+    ``key_mode="auto"`` resolves from the compaction schedule (the pilot's
+    per-depth live fractions, already in hand): rays surviving deep →
+    closed-interior regime where direction-incoherent diffuse bounces
+    dominate the walk → ``"dir6"``; rays dying fast → open-scene regime
+    where early origin-coherent bounces dominate → ``"cell"``.  Measured
+    (1280×720 d8 spp8/16, docs/PERF_NOTES.md round 4): diningroom
+    cell 5.01 / dir6 **7.91**, boxfield-108k cell **10.90** / dir6 6.47 —
+    the live-fraction proxy picks the winner on both.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    key_mode = resolve_key_mode(key_mode, compact)
     from mcpt.render.camera import tile_order
 
     perm, _ = tile_order(width, height, block=subt * 128)
@@ -691,7 +744,7 @@ def render_hybrid(cms: ClusterMegaScene, cam: T.Camera, width: int,
         nee and cms.n_lights > 0, mis, clamp, t_min, interpret,
         cms.n_clusters, cms.leaf_size, cms.n_mats, cms.n_lights, cms.eps,
         cms.total_light_area, cms.bb_lo, cms.bb_inv_ext, subt, coarse_bits,
-        resort_every, compact,
+        resort_every, compact, key_mode=key_mode,
     )
 
 
@@ -729,14 +782,15 @@ def _compaction_schedule(rows0, max_depth, resort_every, compact, subt):
                      "nee", "mis", "clamp", "t_min", "interpret",
                      "n_clusters", "leaf_size", "n_mats", "n_lights", "eps",
                      "total_light_area", "bb_lo", "bb_inv_ext", "subt",
-                     "coarse_bits", "resort_every", "compact", "sample_base"),
+                     "coarse_bits", "resort_every", "compact",
+                     "key_mode"),
 )
 def _render_hybrid_jit(wnodes, tri16, matt, lit, perm, cam, width, height,
                        spp, seed, max_depth, rr, rr_start, nee, mis, clamp,
                        t_min, interpret, n_clusters, leaf_size, n_mats,
                        n_lights, eps, total_light_area, bb_lo, bb_inv_ext,
                        subt, coarse_bits, resort_every=1, compact=None,
-                       sample_base=0):
+                       sample_base=0, key_mode="cell"):
     """The hybrid pipeline body.
 
     ``perm`` holds this call's (globally-ided) pixels — the full tile
@@ -823,7 +877,7 @@ def _render_hybrid_jit(wnodes, tri16, matt, lit, perm, cam, width, height,
             flat = [x.reshape(-1) for x in state] + [rid.reshape(-1)]
             key = _hybrid_sort_key(flat[0], flat[1], flat[2], flat[3],
                                    flat[4], flat[5], flat[12], bb_lo,
-                                   bb_inv_ext, coarse_bits)
+                                   bb_inv_ext, coarse_bits, key_mode)
             srt = jax.lax.sort((key, *flat), num_keys=1)
             h = state[0].shape[0]
             return (tuple(x.reshape(h, 128) for x in srt[1:17]),

@@ -39,6 +39,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mcpt.pallas._interp import interp_mode
+
 from mcpt import types as T
 
 # Block geometry: SUB×128 rays per grid step.
@@ -1174,8 +1176,8 @@ def _render_mega_jit(tri, matt, lit, cb, cam, width, height, spp, seed,
             pltpu.VMEM((SUB, 128), jnp.int32),
             pltpu.VMEM((SUB, 128), jnp.float32),
         ],
-        # bool True → the TPU interpreter (supports pltpu prims on CPU hosts)
-        interpret=pltpu.InterpretParams() if interpret else False,
+        # CPU hosts run the classic interpreter (see mcpt/pallas/_interp.py)
+        interpret=interp_mode(interpret),
     )(si, sf, tri, matt, lit, cb)
     r, g, b, segs = outs[:4]
 

@@ -34,6 +34,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mcpt.pallas._interp import interp_mode
+
 from mcpt.bvh.cluster import ClusterBVH
 from mcpt.types import Hit
 
@@ -349,7 +351,7 @@ def _traverse_jit(wnodes, tri16, origin, direction, active, limit,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=96 * 1024 * 1024,
             ),
-            interpret=pltpu.InterpretParams() if interpret else False,
+            interpret=interp_mode(interpret),
         )(sf, ox, oy, oz, dx, dy, dz, lim, wnodes, tri16)
 
     rays = (ox, oy, oz, dx, dy, dz, lim)

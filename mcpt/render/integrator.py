@@ -470,15 +470,19 @@ def measure_schedule(scene: Scene, lights: Lights, cam: Camera,
     return tuple(sched)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "opts", "spp"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "opts", "spp",
+                                             "with_stats"))
 def render_batch(scene: Scene, lights: Lights, cam: Camera, width: int,
                  height: int, key: jax.Array, opts: RenderOptions,
-                 spp: int = 1) -> jnp.ndarray:
+                 spp: int = 1, with_stats: bool = False) -> jnp.ndarray:
     """``spp`` samples per pixel in one device program → (W·H, 3) radiance *sum*.
 
     Batching the sample axis into the ray pool is the TPU replacement for the
     reference's one-sample-per-frame-tick scheduling (``OpenCLApp.cpp:57-82``):
-    a W·H·spp pool keeps the VPU saturated and amortizes dispatch."""
+    a W·H·spp pool keeps the VPU saturated and amortizes dispatch.
+    ``with_stats=True`` also returns the live-segment count (the honest
+    Mrays/s numerator — the reference shows live FPS in its window title,
+    ``openglapp.cpp:52-56``; we show measured segments/s)."""
     keys = jax.random.split(key, spp)
     n = width * height
 
@@ -505,8 +509,10 @@ def render_batch(scene: Scene, lights: Lights, cam: Camera, width: int,
     if spp == 1 and opts.compact is None:
         k_cam, k_path = jax.random.split(keys[0])
         pool = gen(key=k_cam, jitter=opts.jitter)
-        pool = trace(scene, lights, pool, k_path, opts)
-        return untile(pool.radiance)
+        out = trace(scene, lights, pool, k_path, opts, with_stats=with_stats)
+        if with_stats:
+            return untile(out[0].radiance), out[1]
+        return untile(out.radiance)
 
     # one flat pool of spp·W·H rays (not vmap: a single big wavefront vectorizes
     # the bounce loop across samples AND pixels, so partially-dead sample slices
@@ -518,9 +524,12 @@ def render_batch(scene: Scene, lights: Lights, cam: Camera, width: int,
     )
     if opts.compact is not None:
         # compacted trace scatter-adds by (true) pixel id — order-independent
-        return trace_compacted(scene, lights, flat, key, opts, num_pixels=n)
-    flat = trace(scene, lights, flat, key, opts)
-    return untile(flat.radiance.reshape(spp, n, 3).sum(axis=0))
+        return trace_compacted(scene, lights, flat, key, opts, num_pixels=n,
+                               with_stats=with_stats)
+    out = trace(scene, lights, flat, key, opts, with_stats=with_stats)
+    if with_stats:
+        return untile(out[0].radiance.reshape(spp, n, 3).sum(axis=0)), out[1]
+    return untile(out.radiance.reshape(spp, n, 3).sum(axis=0))
 
 
 def render_sample(scene: Scene, lights: Lights, cam: Camera, width: int,

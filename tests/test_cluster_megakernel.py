@@ -106,3 +106,20 @@ def test_hybrid_matches_cluster_mega_batch(small_clustered):
     r2, s2 = cmk.render_hybrid(cms, cam, 32, 32, **kw)
     np.testing.assert_array_equal(np.asarray(r2), np.asarray(r1))
     assert float(s1) == float(s2)
+
+
+def test_mosaic_interpreter_matches_classic(small_clustered):
+    """CPU hosts default to the classic (traced/XLA) Pallas interpreter;
+    the Mosaic TPU interpreter stays reachable via ``interpret="mosaic"``
+    (see ``mcpt/pallas/_interp.py`` for why).  The two must agree
+    bit-for-bit on the fused engine — this is the faithfulness check that
+    licenses the fast default.  Single-device and tiny on purpose: the
+    Mosaic interpreter's cross-device barrier deadlocks under shard_map
+    with ≥128 KiB operands (jax 0.9.0), so only the classic flavor runs in
+    the sharded tests."""
+    mega, cms, cam = small_clustered
+    kw = dict(spp=1, seed=5, max_depth=2, nee=True, mis=True)
+    r1, s1 = cmk.render_hybrid(cms, cam, 16, 16, interpret=True, **kw)
+    r2, s2 = cmk.render_hybrid(cms, cam, 16, 16, interpret="mosaic", **kw)
+    np.testing.assert_array_equal(np.asarray(r2), np.asarray(r1))
+    assert float(s1) == float(s2)

@@ -135,3 +135,70 @@ def test_cluster_sharded_matches_single_device():
         )
         acc += np.asarray(r)
     np.testing.assert_allclose(rad_sh, acc, rtol=1e-5, atol=1e-6)
+
+
+def test_hybrid_sharded_matches_single_device():
+    """The production large-scene engine (hybrid fused-bounce) under the
+    ('samples','pixels') mesh must reproduce the single-chip hybrid render
+    exactly up to f32 sum order: the sharded path renders the SAME global
+    (sample, pixel) RNG streams (``sample_base`` offsets, global rng ids),
+    so per-pixel radiance matches to round-off, not just in expectation."""
+    import dataclasses
+
+    from mcpt.pallas import cluster_megakernel as cmk
+    from mcpt.scenes import boxfield
+
+    # sizes are deliberately tiny (8x8, spp 2, depth 2, subt=8 -> 1024-lane
+    # pools): the CI host runs the 8-device mesh on ONE core, so every extra
+    # block/bounce multiplies interpret-mode wall time
+    loaded, camcfg = boxfield(60)
+    w = h = 8
+    camcfg = dataclasses.replace(camcfg, resolution=(w, h))
+    scene, lights = build_scene(loaded)
+    cam = cm.make_camera(camcfg)
+    cms = cmk.build_cluster_megascene(scene, lights)
+
+    mesh = dist.make_mesh(samples=2, pixels=4)
+    rad_sh, segs_sh = dist.render_hybrid_sharded(
+        cms, dist.replicate(cam, mesh), w, h, spp=2, mesh=mesh, seed=7,
+        max_depth=2, nee=True, mis=True, interpret=True, subt=8,
+    )
+    rad_sh = np.asarray(rad_sh)
+    assert rad_sh.shape == (w * h, 3)
+    assert np.isfinite(rad_sh).all() and rad_sh.sum() > 0.0
+
+    rad_1, segs_1 = cmk.render_hybrid(
+        cms, cam, w, h, spp=2, seed=7, max_depth=2, nee=True, mis=True,
+        interpret=True, subt=8,
+    )
+    np.testing.assert_allclose(rad_sh, np.asarray(rad_1), rtol=1e-5,
+                               atol=1e-6)
+    assert float(segs_sh) == float(segs_1)
+
+
+def test_hybrid_sharded_with_compaction():
+    """Sharded hybrid with per-shard pool compaction: still unbiased and
+    finite (compaction schedules are shard-local; radiance tails ride to
+    each shard's final reduce)."""
+    import dataclasses
+
+    from mcpt.pallas import cluster_megakernel as cmk
+    from mcpt.scenes import boxfield
+
+    loaded, camcfg = boxfield(60)
+    w = h = 8
+    camcfg = dataclasses.replace(camcfg, resolution=(w, h))
+    scene, lights = build_scene(loaded)
+    cam = cm.make_camera(camcfg)
+    cms = cmk.build_cluster_megascene(scene, lights)
+
+    mesh = dist.make_mesh(samples=2, pixels=4)
+    rad_sh, segs_sh = dist.render_hybrid_sharded(
+        cms, dist.replicate(cam, mesh), w, h, spp=2, mesh=mesh, seed=7,
+        max_depth=3, nee=True, mis=True, interpret=True, subt=8,
+        compact=(0.9, 0.75),
+    )
+    rad_sh = np.asarray(rad_sh)
+    assert rad_sh.shape == (w * h, 3)
+    assert np.isfinite(rad_sh).all() and rad_sh.sum() > 0.0
+    assert np.isfinite(float(segs_sh))

@@ -141,6 +141,24 @@ def main(argv=None):
         # triangles; past that the hybrid fused-bounce cluster engine wins
         # (round-3 sweep: 11.1 Mrays/s at 12k vs 4.4 wavefront at 108k)
         engine = "mega" if scene.n_tris <= 6000 else "hybrid"
+
+    # multi-chip: the config's ``mesh`` key ({"samples": s, "pixels": p})
+    # routes every engine through its shard_map twin in mcpt.dist — the
+    # sharded-rendering path BASELINE.md targets ("progressive 4 spp/step
+    # sharded over v5p-8 mesh"); the reference is single-queue
+    # (oclbasic.cpp:14,117)
+    mesh = None
+    if cfg.mesh and len(jax.devices()) > 1:
+        from mcpt import dist
+
+        mesh = dist.make_mesh(
+            samples=int(cfg.mesh.get("samples", 1)),
+            pixels=int(cfg.mesh.get("pixels", 0)) or None,
+        )
+        print(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
+    elif cfg.mesh:
+        print("config requests a device mesh but only one device is "
+              "visible — rendering single-chip")
     if engine != "mega":
         from mcpt.render import traverse as trv
 
@@ -155,14 +173,25 @@ def main(argv=None):
         mega = mk.build_megascene(scene, lights)
         interp = jax.default_backend() != "tpu"  # CPU hosts: TPU interpreter
 
-        def render_step(seed_step, step):
-            rad, _ = mk.render_mega(
-                mega, cam, width, height, spp=step, seed=seed_step,
-                max_depth=opts.max_depth, rr=opts.russian_roulette,
-                rr_start=opts.rr_start_depth, nee=opts.nee, mis=opts.mis,
-                clamp=cfg.integrator.clamp, interpret=interp,
-            )
-            return rad
+        if mesh is not None:
+            from mcpt import dist
+
+            def render_step(seed_step, step):
+                rad = dist.render_mega_sharded(
+                    mega, cam, width, height, spp=step, mesh=mesh,
+                    seed=seed_step, max_depth=opts.max_depth,
+                    nee=opts.nee, mis=opts.mis, rr=opts.russian_roulette,
+                    interpret=interp,
+                )
+                return rad, None
+        else:
+            def render_step(seed_step, step):
+                return mk.render_mega(
+                    mega, cam, width, height, spp=step, seed=seed_step,
+                    max_depth=opts.max_depth, rr=opts.russian_roulette,
+                    rr_start=opts.rr_start_depth, nee=opts.nee, mis=opts.mis,
+                    clamp=cfg.integrator.clamp, interpret=interp,
+                )
     elif engine in ("cluster-mega", "hybrid"):
         # the fused large-scene engines (mcpt.pallas.cluster_megakernel):
         # "cluster-mega" keeps whole paths in one kernel; "hybrid" fuses one
@@ -172,8 +201,6 @@ def main(argv=None):
 
         cms = cmk.build_cluster_megascene(scene, lights)
         interp = jax.default_backend() != "tpu"
-        render_one = (cmk.render_hybrid if engine == "hybrid"
-                      else cmk.render_cluster_mega)
         extra = {}
         if engine == "hybrid" and not interp:
             # pilot-measured unbiased pool compaction (shrinks the
@@ -183,48 +210,105 @@ def main(argv=None):
                 opts._replace(method="bvh"),
             )
 
-        def render_step(seed_step, step):
-            rad, _ = render_one(
-                cms, cam, width, height, spp=step, seed=seed_step,
-                max_depth=opts.max_depth, rr=opts.russian_roulette,
-                rr_start=opts.rr_start_depth, nee=opts.nee, mis=opts.mis,
-                clamp=cfg.integrator.clamp, interpret=interp, **extra,
-            )
-            return rad
+        if mesh is not None and engine == "hybrid":
+            from mcpt import dist
+
+            cam_r = dist.replicate(cam, mesh)
+
+            def render_step(seed_step, step):
+                return dist.render_hybrid_sharded(
+                    cms, cam_r, width, height, spp=step, mesh=mesh,
+                    seed=seed_step, max_depth=opts.max_depth,
+                    nee=opts.nee, mis=opts.mis, rr=opts.russian_roulette,
+                    interpret=interp, **extra,
+                )
+        elif mesh is not None:
+            from mcpt import dist
+
+            def render_step(seed_step, step):
+                rad = dist.render_cluster_sharded(
+                    cms, cam, width, height, spp=step, mesh=mesh,
+                    seed=seed_step, max_depth=opts.max_depth,
+                    nee=opts.nee, mis=opts.mis, rr=opts.russian_roulette,
+                    interpret=interp,
+                )
+                return rad, None
+        else:
+            render_one = (cmk.render_hybrid if engine == "hybrid"
+                          else cmk.render_cluster_mega)
+
+            def render_step(seed_step, step):
+                return render_one(
+                    cms, cam, width, height, spp=step, seed=seed_step,
+                    max_depth=opts.max_depth, rr=opts.russian_roulette,
+                    rr_start=opts.rr_start_depth, nee=opts.nee, mis=opts.mis,
+                    clamp=cfg.integrator.clamp, interpret=interp, **extra,
+                )
     else:
-        def render_step(seed_step, step):
-            return integ.render_batch(
-                scene, lights, cam, width, height,
-                jax.random.fold_in(jax.random.key(cfg.seed), seed_step),
-                opts, spp=step,
-            )
+        if mesh is not None:
+            from mcpt import dist
+
+            def render_step(seed_step, step):
+                rad = dist.render_batch_sharded(
+                    scene, lights, cam, width, height,
+                    jax.random.fold_in(jax.random.key(cfg.seed), seed_step),
+                    opts, step, mesh,
+                )
+                return rad, None
+        else:
+            def render_step(seed_step, step):
+                return integ.render_batch(
+                    scene, lights, cam, width, height,
+                    jax.random.fold_in(jax.random.key(cfg.seed), seed_step),
+                    opts, spp=step, with_stats=True,
+                )
 
     print(f"engine: {engine}")
     base = jax.random.key(cfg.seed)
     t0 = time.time()
     t_last, s_last = t0, start_s
     step_size = max(1, cfg.spp_per_step)
+    if mesh is not None:
+        # every sharded step renders a samples-axis multiple
+        d_s = mesh.shape["samples"]
+        step_size = max(d_s, (step_size // d_s) * d_s)
+        if spp % d_s:
+            spp = ((spp + d_s - 1) // d_s) * d_s
+            print(f"spp rounded up to {spp} (samples axis = {d_s})")
     done = start_s
+    # measured Mrays/s: engines that count live segments (mega / cluster /
+    # hybrid / wavefront single-chip) report the honest number the reference
+    # shows as FPS (openglapp.cpp:52-56); sharded engines without a count
+    # fall back to the W·H·depth upper bound (marked ``≤``)
+    segs_done, segs_last = 0.0, 0.0
     # interval triggers track the last fire (done advances in spp_per_step
     # strides, which may never land on an exact multiple of the interval)
     snap_last, ckpt_last = done, done
     while done < spp:
         step = min(step_size, spp - done)
-        radiance = render_step(cfg.seed + done * 7919, step)
+        radiance, segs = render_step(cfg.seed + done * 7919, step)
         fb = integ.accumulate(fb, radiance, spp=step)
         done += step
+        if segs is not None:
+            segs_done += float(segs)  # forces the step (device scalar read)
         now = time.time()
         if now - t_last > 2.0 or done == spp:
             jax.block_until_ready(fb.sum)
             now = time.time()
             sps = (done - s_last) / max(now - t_last, 1e-9)
-            rays = sps * width * height * opts.max_depth  # upper bound/sample
+            if segs is not None:
+                rays = (segs_done - segs_last) / max(now - t_last, 1e-9)
+                rays_s = f"{rays/1e6:8.2f} Mrays/s"
+            else:
+                rays = sps * width * height * opts.max_depth  # upper bound
+                rays_s = f"≤{rays/1e6:7.2f} Mrays/s"
             print(
                 f"  {done}/{spp} spp | {sps:6.2f} spp/s | "
-                f"≤{rays/1e6:8.2f} Mrays/s | {now - t0:6.1f}s elapsed",
+                f"{rays_s} | {now - t0:6.1f}s elapsed",
                 flush=True,
             )
             t_last, s_last = now, done
+            segs_last = segs_done
         if (args.snapshot_every and done - snap_last >= args.snapshot_every
                 and done < spp):
             snap_last = done
