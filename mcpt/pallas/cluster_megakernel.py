@@ -629,6 +629,8 @@ def _hybrid_sort_key(ox, oy, oz, dx, dy, dz, alive, bb_lo, bb_inv_ext,
       direction cell that subsumes the octant).  **7.91 Mrays/s** (+58%
       over the round-3 key): interior bounce blocks become near-cone-pure,
       so the shared-stack walk's per-block cluster union collapses.
+    - ``"dir9"``: 3 direction bits per axis (512 cones; fine origin bits
+      shrink to keep the key in 31 bits).
     """
     from mcpt.bvh import lbvh
 
@@ -654,6 +656,13 @@ def _hybrid_sort_key(ox, oy, oz, dx, dy, dz, alive, bb_lo, bb_inv_ext,
         d6 = (q2(dx) << 4) | (q2(dy) << 2) | q2(dz)
         key = ((d6 << (coarse_bits + fine_bits)) | (coarse << fine_bits)
                | fine)
+    elif key_mode == "dir9":
+        def q3(c):  # 3-bit direction cell per axis (512 cones)
+            return jnp.clip(((c + 1.0) * 4.0).astype(jnp.int32), 0, 7)
+        d9 = (q3(dx) << 6) | (q3(dy) << 3) | q3(dz)
+        fb9 = min(fine_bits, 30 - 9 - coarse_bits)  # keep the key in 31 bits
+        key = ((d9 << (coarse_bits + fb9)) | (coarse << fb9)
+               | (fine >> (fine_bits - fb9)))
     else:  # pragma: no cover - guarded by static arg validation
         raise ValueError(f"unknown key_mode {key_mode!r}")
     return jnp.where(alive > 0.5, key, jnp.int32(0x7FFFFFFF))

@@ -136,11 +136,12 @@ def main(argv=None):
 
     engine = cfg.engine
     if engine == "auto":
-        # measured crossover (docs/PERF_NOTES.md, boxfield sweep): the fused
-        # megakernel (chunk-culled fori tier) beats everything up to ~6k
-        # triangles; past that the hybrid fused-bounce cluster engine wins
-        # (round-3 sweep: 11.1 Mrays/s at 12k vs 4.4 wavefront at 108k)
-        engine = "mega" if scene.n_tris <= 6000 else "hybrid"
+        # measured crossover (docs/PERF_NOTES.md round-4 sweep, boxfield d8
+        # spp16): mega 66.8/42.6/20.4/7.8 vs hybrid 29.6/28.5/25.6/20.0
+        # Mrays/s at 724/1204/2404/6004 tris — the curves cross at ~1.7k, so
+        # the dense megakernel keeps only the truly small scenes and the
+        # hybrid fused-bounce engine takes the rest
+        engine = "mega" if scene.n_tris <= 1500 else "hybrid"
 
     # multi-chip: the config's ``mesh`` key ({"samples": s, "pixels": p})
     # routes every engine through its shard_map twin in mcpt.dist — the
