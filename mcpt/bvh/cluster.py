@@ -32,6 +32,20 @@ from mcpt.types import BVH
 
 DEFAULT_LEAF_SIZE = 32
 
+# Shared traversal-stack capacity contract between this builder and the
+# Pallas walk kernels (``mcpt.pallas.traverse_kernel`` /
+# ``cluster_megakernel`` import it from here).  The walk pops one entry and
+# pushes ≤8 children per iteration, with the near child popped first, so
+# while a depth-``d`` wide node's push group lands the stack holds at most
+# 7 not-yet-taken siblings per ancestor level plus this group's 8:
+# ``sp ≤ 7·d + 8``.  ``collapse_wide`` REJECTS any tree deep enough to break
+# that bound (the loud build-time canary) — the kernels' push sites clamp
+# their store index as pure defence-in-depth, never as the contract.  The
+# reference's counterpart, a silent fixed ``stack[64]`` per work item
+# (``objdef.h:240-275``), has no such guarantee.
+STACK_CAP = 128
+MAX_WIDE_DEPTH = (STACK_CAP - 8) // 7  # deepest legal internal wide node
+
 
 class ClusterBVH(NamedTuple):
     """Device tables for the block-coherent traversal kernel.
@@ -502,6 +516,8 @@ def collapse_wide(nodes: np.ndarray, n_clusters: int) -> np.ndarray:
     rows = []
     queue = [0]  # binary roots of pending wide nodes
     wide_index = {0: 0}  # binary root id → wide node index
+    wide_depth = {0: 0}  # wide node index → depth (root = 0)
+    max_depth = 0
     while queue:
         root = queue.pop(0)
         members = [root]
@@ -526,6 +542,11 @@ def collapse_wide(nodes: np.ndarray, n_clusters: int) -> np.ndarray:
                 else:
                     if m not in wide_index:
                         wide_index[m] = len(wide_index)
+                        wide_depth[wide_index[m]] = (
+                            wide_depth[wide_index[root]] + 1
+                        )
+                        max_depth = max(max_depth,
+                                        wide_depth[wide_index[m]])
                         queue.append(m)
                     row[48 + k] = float(wide_index[m])
             else:
@@ -549,6 +570,17 @@ def collapse_wide(nodes: np.ndarray, n_clusters: int) -> np.ndarray:
                 code |= int(k) << (3 * j)
             row[56 + o] = float(code)  # < 2^24: exact in f32
         rows.append((wide_index[root], row))
+    if max_depth > MAX_WIDE_DEPTH:
+        # loud build-time failure instead of a silently corrupted traversal:
+        # the kernels' SMEM stack can hold 7·depth + 8 entries worst-case
+        raise ValueError(
+            f"8-wide top tree depth {max_depth} exceeds the traversal-stack "
+            f"bound ({MAX_WIDE_DEPTH}: worst-case stack 7·depth + 8 > "
+            f"STACK_CAP={STACK_CAP}).  The top tree is pathologically "
+            f"unbalanced ({n_clusters} clusters need depth "
+            f"~log8 = {max(1, int(np.ceil(np.log2(max(n_clusters, 2)) / 3)))}"
+            f"); rebuild with a different clustering or raise STACK_CAP."
+        )
     out = np.zeros((len(rows), 64), np.float32)
     for idx, row in rows:
         out[idx] = row

@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mcpt.pallas._interp import interp_mode
 
-from mcpt.bvh.cluster import ClusterBVH
+from mcpt.bvh.cluster import STACK_CAP, ClusterBVH
 from mcpt.types import Hit
 
 # Ray-block geometry: SUBT×128 rays share one traversal stack.  Smaller blocks
@@ -46,7 +46,10 @@ from mcpt.types import Hit
 SUBT = 32
 BLKT = SUBT * 128
 
-STACK_CAP = 128  # ≥ 8-wide tree depth × 8 pushes per pop
+# STACK_CAP (re-exported from mcpt.bvh.cluster): the stack can never
+# overflow — ``collapse_wide`` rejects at build time any tree whose
+# worst-case occupancy 7·depth + 8 exceeds it, so the clamped store at the
+# push site is defence-in-depth, not a silent-corruption path.
 
 _BIG = 3.0e38
 

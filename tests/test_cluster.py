@@ -211,3 +211,32 @@ def test_sah_subtree_cut_matches(bf):
         cl_cut, pool.origin, pool.direction, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(hit_b.tri), np.asarray(hit_c.tri))
+
+
+def test_pathological_deep_top_tree_fails_loudly():
+    """A top tree deep enough to overflow the kernels' traversal stack must
+    be REJECTED at build time (``collapse_wide``'s 7·depth + 8 bound), not
+    silently clamp-corrupt pushes mid-render.  The reference has the same
+    hazard and no canary (silent ``stack[64]``, ``objdef.h:240-275``)."""
+    # degenerate binary chain over C clusters: internal i = (leaf i, internal
+    # i+1); the greedy 8-wide collapse of a chain descends ~7 binary levels
+    # per wide node, so wide depth ≈ C/7 — far past MAX_WIDE_DEPTH for C=200
+    c = 200
+    nodes = np.zeros((2 * c - 1, 8), np.float32)
+    nodes[:, 0:3] = 0.0
+    nodes[:, 3:6] = 1.0  # equal boxes: greedy growth order is irrelevant
+    for i in range(c - 1):
+        leaf = (c - 1) + i
+        nodes[i, 6] = float(leaf)
+        nodes[i, 7] = float(i + 1) if i < c - 2 else float(2 * c - 2)
+    for j in range(c):
+        nodes[(c - 1) + j, 6] = nodes[(c - 1) + j, 7] = float(j)
+    with pytest.raises(ValueError, match="traversal-stack bound"):
+        cluster_mod.collapse_wide(nodes, c)
+
+
+def test_balanced_top_tree_passes_depth_check(bf):
+    """Real scenes sit far under the stack bound (depth ~log8 C)."""
+    scene, _, _, _ = bf
+    w = np.asarray(scene.clusters.wnodes)
+    assert w.shape[0] >= 1  # built without raising
