@@ -17,9 +17,18 @@ MB even for san-miguel-class scenes), the ray pool and framebuffer are sharded.
 The per-device program is the same wavefront ``trace`` used single-chip — the
 whole render step is ``shard_map``-ped and jit-compiled once.
 
-Determinism: RNG keys are folded per (sample-shard, pixel-shard), so the
-rendered image is a deterministic function of (seed, mesh shape), and the
-``samples``-axis psum is the only cross-device communication per step.
+Determinism contract (uniform across the three kernel engines — mega,
+cluster-mega, hybrid): every shard renders with the SAME seed and a
+``sample_base`` equal to its global sample offset, so each (sample, pixel)
+RNG stream is identical to the single-chip schedule and the rendered image
+is **bit-exact for any mesh shape** (1×1 ≡ 2×4 ≡ 8×1 — tested in
+``tests/test_dist.py``).  The wavefront engine (``render_batch_sharded``)
+is the one exception: its RNG is ``jax.random`` keyed per (sample-shard,
+pixel-shard) and positional within the pool, so its sharded output is a
+*different but unbiased* estimate that is deterministic in (seed, mesh
+shape) — making it stream-exact would mean rewriting the wavefront's
+entire key-based RNG as counter hashes, which is what the kernel engines
+already are; the wavefront stays the diagnostic/fallback path.
 """
 
 from __future__ import annotations
@@ -59,7 +68,7 @@ def _pad_to(n: int, mult: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "opts", "spp", "mesh"),
+    static_argnames=("width", "height", "opts", "spp", "mesh", "with_stats"),
 )
 def render_batch_sharded(
     scene: Scene,
@@ -71,13 +80,19 @@ def render_batch_sharded(
     opts: integ.RenderOptions,
     spp: int,
     mesh: Mesh,
-) -> jnp.ndarray:
+    with_stats: bool = False,
+):
     """One sharded render step → (W·H, 3) radiance *sum* over ``spp`` samples,
-    laid out sharded over the ``pixels`` axis (replicated over ``samples``).
+    laid out sharded over the ``pixels`` axis (replicated over ``samples``);
+    with ``with_stats=True`` also the total live-segment count (``psum`` over
+    both axes — the honest Mrays/s numerator).
 
     ``spp`` must divide by the samples-axis size; the pixel count is padded up to
     the pixels-axis size internally (static shapes — SURVEY §7 "dynamic-shape
-    allergy").
+    allergy").  RNG: ``jax.random`` keys folded per (sample-shard,
+    pixel-shard) — deterministic in (seed, mesh shape) but NOT stream-exact
+    against single-chip; see the module docstring for why the wavefront is
+    the one engine outside the uniform contract.
     """
     d_s = mesh.shape["samples"]
     d_p = mesh.shape["pixels"]
@@ -105,20 +120,24 @@ def render_batch_sharded(
         flat = jax.tree.map(
             lambda x: x.reshape((spp_local * local_n,) + x.shape[2:]), pools
         )
-        flat = integ.trace(scene, lights, flat, k_dev, opts)
+        flat, segs = integ.trace(scene, lights, flat, k_dev, opts,
+                                 with_stats=True)
         local_sum = flat.radiance.reshape(spp_local, local_n, 3).sum(axis=0)
         # DP reduction: radiance sums ride ICI over the samples axis
-        return jax.lax.psum(local_sum, axis_name="samples")
+        return (jax.lax.psum(local_sum, axis_name="samples"),
+                jax.lax.psum(segs, axis_name=("samples", "pixels")))
 
-    out = shard_map(
+    out, segs = shard_map(
         step,
         mesh=mesh,
         in_specs=(P(), P(), P(), P()),
-        out_specs=P("pixels"),
+        out_specs=(P("pixels"), P()),
         # the wavefront loops build carries from constants; skip the
         # varying-manual-axes bookkeeping (correctness is covered by tests)
         check_vma=False,
     )(scene, lights, cam, key)
+    if with_stats:
+        return out[:n], segs
     return out[:n]
 
 
@@ -184,17 +203,21 @@ def render_mega_sharded(
     nee: bool = False,
     mis: bool = False,
     rr: bool = False,
+    clamp: float = 0.0,
     interpret: bool = False,
-) -> jnp.ndarray:
+):
     """Sharded megakernel render over BOTH mesh axes: each ``pixels`` shard
     renders only its contiguous pixel slice (true spatial sharding — the
-    kernel's ``pixel_base`` hook), each ``samples`` shard renders
-    ``spp / |samples|`` of the samples with a device-unique seed, and the
-    only collective is the radiance ``psum`` over the samples axis (scene
-    tables are VMEM-resident per chip, so replication is free).
+    kernel's ``pixel_base`` hook), each ``samples`` shard renders global
+    sample indices ``[si·spp/|samples|, (si+1)·spp/|samples|)`` via the
+    kernel's ``sample_base`` hook with the SAME seed — every (sample, pixel)
+    RNG stream matches the single-chip schedule exactly, so the output is
+    bit-identical for any mesh shape.  The only collectives are the radiance
+    ``psum`` over samples and the segment-count ``psum`` over both axes
+    (scene tables are VMEM-resident per chip, so replication is free).
 
-    Returns the (W·H, 3) radiance sum over all ``spp`` samples, laid out
-    sharded over the ``pixels`` axis.
+    Returns ``((W·H, 3) radiance sum over all spp, total segments traced)``;
+    radiance is laid out sharded over the ``pixels`` axis.
     """
     from mcpt.pallas import megakernel as mk
 
@@ -210,25 +233,27 @@ def render_mega_sharded(
         mega_local = mega._replace(tri=tri, matt=matt, lit=lit, cbox=cbox)
         si = jax.lax.axis_index("samples")
         pi = jax.lax.axis_index("pixels")
-        dev_seed = seed + si * 65537 + 1  # pixel shards share the sample seed
-        rad, _segs = mk.render_mega(
-            mega_local, cam_, width, height, spp=spp_local, seed=dev_seed,
-            max_depth=max_depth, nee=nee, mis=mis, rr=rr, interpret=interpret,
+        rad, segs = mk.render_mega(
+            mega_local, cam_, width, height, spp=spp_local, seed=seed,
+            max_depth=max_depth, nee=nee, mis=mis, rr=rr, clamp=clamp,
+            interpret=interpret,
             pixel_base=pi * local_n, pixel_count=local_n,
+            sample_base=si * spp_local,
         )
         # DP reduction over samples; pixels need no collective (disjoint)
-        return jax.lax.psum(rad, axis_name="samples")
+        return (jax.lax.psum(rad, axis_name="samples"),
+                jax.lax.psum(segs, axis_name=("samples", "pixels")))
 
-    out = jax.jit(
+    out, segs = jax.jit(
         shard_map(
             step,
             mesh=mesh,
             in_specs=(P(), P(), P(), P(), P()),
-            out_specs=P("pixels"),
+            out_specs=(P("pixels"), P()),
             check_vma=False,
         )
     )(mega.tri, mega.matt, mega.lit, mega.cbox, cam)
-    return out[:n]
+    return out[:n], segs
 
 
 def render_cluster_sharded(
@@ -245,14 +270,16 @@ def render_cluster_sharded(
     rr: bool = False,
     interpret: bool = False,
     subt: int | None = None,
-) -> jnp.ndarray:
+):
     """Sharded *fused cluster* engine (``mcpt.pallas.cluster_megakernel``)
     over BOTH mesh axes: the tile-order pixel permutation is sliced over the
     ``pixels`` axis (each shard's kernel lanes cover only its slice — square
     screen tiles, so shards keep the traversal-block coherence), the sample
-    axis is DP with device-unique seeds, and the radiance ``psum`` over
-    samples is the only collective.  Returns the (W·H, 3) radiance sum,
-    sharded over ``pixels``.
+    axis is DP via the kernel's ``sample_base`` hook with the SAME seed
+    (stream-exact against single-chip, bit-identical for any mesh shape),
+    and the radiance/segment ``psum``s are the only collectives.  Returns
+    ``((W·H, 3) radiance sum, total segments traced)``, radiance sharded
+    over ``pixels``.
     """
     from mcpt.pallas import cluster_megakernel as cmk
     from mcpt.pallas.traverse_kernel import SUBT
@@ -275,30 +302,31 @@ def render_cluster_sharded(
 
     def step(wnodes, tri16, matt, lit, cam_, pix_local):
         si = jax.lax.axis_index("samples")
-        dev_seed = seed + si * 65537 + 1  # pixel shards share the sample seed
         cms_local = cms._replace(wnodes=wnodes, tri16=tri16, matt=matt,
                                  lit=lit)
-        rad, _segs = cmk._render_cluster_jit(
+        rad, segs = cmk._render_cluster_jit(
             cms_local.wnodes, cms_local.tri16, cms_local.matt,
             cms_local.lit, pix_local, cam_, width, height, spp_local,
-            dev_seed, max_depth, rr, 3, nee and cms.n_lights > 0, mis, 0.0,
+            seed, max_depth, rr, 3, nee and cms.n_lights > 0, mis, 0.0,
             1e-4, interpret, cms.n_clusters, cms.leaf_size, cms.n_mats,
             cms.n_lights, cms.eps, cms.total_light_area, False, subt,
+            sample_base=si * spp_local,
         )
-        return jax.lax.psum(rad, axis_name="samples")
+        return (jax.lax.psum(rad, axis_name="samples"),
+                jax.lax.psum(segs, axis_name=("samples", "pixels")))
 
-    out = jax.jit(
+    out, segs = jax.jit(
         shard_map(
             step,
             mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(), P("pixels")),
-            out_specs=P("pixels"),
+            out_specs=(P("pixels"), P()),
             check_vma=False,
         )
     )(cms.wnodes, cms.tri16, cms.matt, cms.lit, cam, jnp.asarray(perm_pad))
     # out rows follow the (padded) tile permutation; rows ≥ n are the padding
     # duplicates — inv_perm indexes each pixel's unique row in the first n
-    return out[jnp.asarray(inv_perm)]
+    return out[jnp.asarray(inv_perm)], segs
 
 
 def render_hybrid_sharded(

@@ -361,22 +361,25 @@ def _render_cluster_jit(wnodes, tri16, matt, lit, pix, cam, width, height,
                         spp, seed, max_depth, rr, rr_start, nee, mis, clamp,
                         t_min, interpret, n_clusters, leaf_size, n_mats,
                         n_lights, eps, total_light_area, regen=False,
-                        subt=SUBT):
+                        subt=SUBT, sample_base=0):
     n_wide = wnodes.shape[0]
     blkt = subt * 128
     # ``pix`` holds this call's (globally-ided) pixels — the whole image
     # single-chip, or one shard's slice of the tile permutation under
-    # ``mcpt.dist.render_cluster_sharded``
+    # ``mcpt.dist.render_cluster_sharded``; ``sample_base`` offsets the
+    # global sample indices (samples-axis shards render disjoint slices of
+    # the single-chip (sample, pixel) RNG schedule with the same seed)
     n_pixels = pix.shape[0]
     n_rays = n_pixels if regen else n_pixels * spp
     n_blocks = (n_rays + blkt - 1) // blkt
 
     si = jnp.array(
         [width, height, 0, max_depth, 0, int(rr), rr_start, n_pixels,
-         n_mats, n_lights, 0, width * height, spp],
+         n_mats, n_lights, 0, width * height, spp, 0],
         jnp.int32,
     )
     si = si.at[4].set(jnp.asarray(seed, jnp.int32))
+    si = si.at[13].set(jnp.asarray(sample_base, jnp.int32))
     sf = jnp.concatenate(
         [
             cam.position.reshape(3),
@@ -952,3 +955,140 @@ def _render_hybrid_jit(wnodes, tri16, matt, lit, perm, cam, width, height,
     rad = jnp.stack([x[:n_rays] for x in srt[1:4]], axis=-1)
     radiance = rad.reshape(spp, n_px, 3).sum(axis=0)
     return radiance, segs_total
+
+
+def profile_hybrid(cms: ClusterMegaScene, cam: T.Camera, width: int,
+                   height: int, spp: int, seed, max_depth: int = 8,
+                   rr: bool = False, rr_start: int = 3, nee: bool = False,
+                   mis: bool = False, clamp: float = 0.0,
+                   t_min: float = 1e-4, interpret: bool | None = None,
+                   subt: int = SUBT, coarse_bits: int = 6,
+                   resort_every: int = 1, compact: tuple | None = None,
+                   key_mode: str = "auto", timer=None):
+    """Stage-instrumented twin of ``render_hybrid`` → (timer, radiance, segs).
+
+    Drives the same pipeline host-side with one jit per stage and a forced
+    device sync between stages (``runtime.StageTimer``), so the per-stage
+    shares the round-3/4 perf work was steered by (bounce kernel vs
+    coherence sort vs compaction vs final reduce, docs/PERF_NOTES.md) are a
+    CLI feature (``tools/render.py --profile``), not a session script.  The
+    TPU answer to the reference's always-on profiling queue + ``timeCost``
+    (``oclbasic.cpp:117,232-247``).  Computes the same estimator as
+    ``render_hybrid`` (same stage math, same streams); stage-boundary jits
+    may reassociate f32, so agreement is to round-off, not bitwise.
+    """
+    from mcpt.render.camera import tile_order
+    from mcpt.runtime import StageTimer
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nee = nee and cms.n_lights > 0
+    key_mode = resolve_key_mode(key_mode, compact)
+    timer = timer if timer is not None else StageTimer()
+
+    blkt = subt * 128
+    n_px_total = width * height
+    perm, _ = tile_order(width, height, block=blkt)
+    perm = jnp.asarray(perm)
+    n_px = perm.shape[0]
+    n_rays = n_px * spp
+    rows0 = ((n_rays + blkt - 1) // blkt) * subt
+    seed_i = jnp.asarray(seed, jnp.int32)
+
+    @jax.jit
+    def raygen():
+        pix = jnp.tile(perm, spp)
+        smp = jnp.repeat(jnp.arange(spp, dtype=jnp.int32), n_px)
+        o, d, rng_id = _xla_camera_rays(cam, width, height, pix, smp,
+                                        seed_i, n_px_total)
+
+        def plane(x, fill=0.0):
+            return jnp.pad(x, (0, rows0 * 128 - n_rays),
+                           constant_values=fill).reshape(rows0, 128)
+
+        ones = plane(jnp.ones((n_rays,), jnp.float32))
+        zer = plane(jnp.zeros((n_rays,), jnp.float32))
+        state = (
+            plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
+            plane(d[:, 0], 1.0), plane(d[:, 1]), plane(d[:, 2]),
+            ones, ones, ones, zer, zer, zer,
+            plane(jnp.ones((n_rays,), jnp.float32)), zer, zer, zer,
+        )
+        pad_ids = spp * n_px_total + jnp.arange(rows0 * 128 - n_rays,
+                                                dtype=jnp.int32)
+        rid = jnp.concatenate([rng_id, pad_ids]).reshape(rows0, 128)
+        return state, rid
+
+    @jax.jit
+    def roulette(state, rid, depth, live_cap):
+        alive = state[12] > 0.0
+        live = jnp.sum(alive.astype(jnp.float32))
+        p = jnp.minimum(1.0, live_cap / jnp.maximum(live, 1.0))
+        u = mk._u01(seed_i, jnp.int32(1009) + depth, rid)
+        kf = (alive & (u < p)).astype(jnp.float32)
+        inv_p = 1.0 / p
+        return (state[:6] + tuple(t * inv_p for t in state[6:9])
+                + state[9:12] + (kf,) + state[13:])
+
+    @jax.jit
+    def do_sort(state, rid):
+        flat = [x.reshape(-1) for x in state] + [rid.reshape(-1)]
+        key = _hybrid_sort_key(flat[0], flat[1], flat[2], flat[3], flat[4],
+                               flat[5], flat[12], cms.bb_lo, cms.bb_inv_ext,
+                               coarse_bits, key_mode)
+        srt = jax.lax.sort((key, *flat), num_keys=1)
+        h = state[0].shape[0]
+        return (tuple(x.reshape(h, 128) for x in srt[1:17]),
+                srt[17].reshape(h, 128))
+
+    @jax.jit
+    def reduce_final(parts):
+        cat = [jnp.concatenate([p[i] for p in parts]) for i in range(4)]
+        srt = jax.lax.sort(tuple(cat), num_keys=1)
+        rad = jnp.stack([x[:n_rays] for x in srt[1:4]], axis=-1)
+        return rad.reshape(spp, n_px, 3).sum(axis=0)
+
+    with timer.stage("raygen"):
+        state, rid = raygen()
+        timer.sync(state)
+
+    rows_at = _compaction_schedule(rows0, max_depth, resort_every, compact,
+                                   subt)
+    segs_total = 0.0
+    tails = []
+    for d in range(max_depth):
+        with timer.stage(f"bounce[d{d}]  ({rows_at[d]}×128 pool)"):
+            st16, segs = _fused_bounce_jit(
+                cms.wnodes, cms.tri16, cms.matt, cms.lit, state, rid, seed,
+                jnp.int32(d), max_depth, rr, rr_start, nee, mis, clamp,
+                t_min, interpret, cms.n_clusters, cms.leaf_size, cms.n_mats,
+                cms.n_lights, cms.eps, cms.total_light_area, subt,
+            )
+            timer.sync(st16)
+        segs_total += float(jnp.sum(segs))
+        shrink = d + 1 < max_depth and rows_at[d + 1] < rows_at[d]
+        cap = 0.97 * rows_at[d + 1] * 128 if shrink else np.inf
+        with timer.stage("roulette"):
+            state = roulette(st16, rid, jnp.int32(d), jnp.float32(cap))
+            timer.sync(state)
+        if ((d + 1) % resort_every == 0 and d + 1 < max_depth) or shrink:
+            with timer.stage(f"sort[d{d}]"):
+                state, rid = do_sort(state, rid)
+                timer.sync(state)
+        if shrink:
+            cap_rows = rows_at[d + 1]
+            with timer.stage("compact-slice"):
+                tails.append(tuple(
+                    x[cap_rows:, :].reshape(-1)
+                    for x in (rid, state[9], state[10], state[11])
+                ))
+                state = tuple(x[:cap_rows, :] for x in state)
+                rid = rid[:cap_rows, :]
+                timer.sync(state)
+
+    parts = tails + [(rid.reshape(-1), state[9].reshape(-1),
+                      state[10].reshape(-1), state[11].reshape(-1))]
+    with timer.stage("final-reduce"):
+        radiance = reduce_final(parts)
+        timer.sync(radiance)
+    return timer, radiance, segs_total

@@ -753,7 +753,11 @@ def _render_body(static_mats, use_nee, use_mis, static_lights, regen, sub,
                        W·H single-chip; a mesh pixel shard passes its own),
                        11 total pixels (W·H — makes the per-lane RNG counter
                        globally unique across pixel shards),
-                       12 spp (samples per lane; used when regen)
+                       12 spp (samples per lane; used when regen),
+                       13 sample_base (first global sample index — 0
+                       single-chip; a mesh samples shard passes its own, so
+                       every (sample, pixel) RNG stream matches the
+                       single-chip schedule exactly)
     sf_ref (SMEM f32): 0:3 cam pos, 3:6 fwd, 6:9 right, 9:12 up,
                        12 half_w, 13 half_h, 14 eps, 15 t_min,
                        16 total light area
@@ -776,8 +780,9 @@ def _render_body(static_mats, use_nee, use_mis, static_lights, regen, sub,
     pxi = jax.lax.rem(pixel, width)
     pyi = jax.lax.div(pixel, width)
     # RNG counter: globally unique (sample, pixel) id — equal to ray_idx
-    # single-chip, disjoint across mesh pixel shards
-    ray_idx = jax.lax.div(ray_idx, n_pixels) * si_ref[11] + pixel
+    # single-chip, disjoint across mesh pixel AND sample shards
+    ray_idx = (si_ref[13] + jax.lax.div(ray_idx, n_pixels)) * si_ref[11] \
+        + pixel
 
     # iota-derived zeros: forces a standard (non-replicated) vector layout on
     # every loop-carry init — broadcast-constant inits trip a Mosaic relayout
@@ -863,7 +868,8 @@ def _render_body(static_mats, use_nee, use_mis, static_lights, regen, sub,
         if regen:
             # per-lane RNG coordinates: the lane's current (sample, depth)
             salt0 = 8 * depth_v.astype(jnp.int32) + 3
-            pidx = done_s.astype(jnp.int32) * si_ref[11] + pixel
+            pidx = (si_ref[13] + done_s.astype(jnp.int32)) * si_ref[11] \
+                + pixel
             depth_ok = jnp.where(depth_v + 1.0 < max_depth_f, 1.0, 0.0)
             rr_on = rr_en * jnp.where(depth_v >= rr_start_f, 1.0, 0.0)
         else:
@@ -888,7 +894,7 @@ def _render_body(static_mats, use_nee, use_mis, static_lights, regen, sub,
         done_s = done_s + died
         reg = died * jnp.where(done_s < spp_f - 0.5, 1.0, 0.0)
         pick = reg > 0.5
-        idx_new = done_s.astype(jnp.int32) * si_ref[11] + pixel
+        idx_new = (si_ref[13] + done_s.astype(jnp.int32)) * si_ref[11] + pixel
         cox, coy, coz, cdx, cdy, cdz = cam_ray(idx_new)
         ox = jnp.where(pick, cox, ox)
         oy = jnp.where(pick, coy, oy)
@@ -1051,7 +1057,7 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
                 rr_start: int = 3, nee: bool = False, mis: bool = False,
                 clamp: float = 0.0, t_min: float = 1e-4,
                 interpret: bool = False, pixel_base=0,
-                pixel_count: int | None = None,
+                pixel_count: int | None = None, sample_base=0,
                 schedule: str = "auto", count_rows: bool = False):
     """Render spp samples → ((pixel_count, 3) radiance sum, segments).
 
@@ -1065,7 +1071,10 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
     ``pixel_base``/``pixel_count`` select a contiguous pixel slice (defaults:
     the whole image) — the spatial-sharding hook for
     ``mcpt.dist.render_mega_sharded`` (pixel_base may be traced, e.g. a mesh
-    axis index).
+    axis index).  ``sample_base`` offsets the global sample indices the same
+    way (a ``samples``-axis shard renders samples ``[sample_base,
+    sample_base + spp)`` of the single-chip schedule with the SAME seed, so
+    sharded output is stream-exact against single-chip).
 
     ``count_rows=True`` (instrumented builds, fori tier only): returns a
     third value — the live-lane triangle-row tests actually executed after
@@ -1093,7 +1102,7 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
         mega.tri, mega.matt, mega.lit, mega.cbox, cam, width, height, spp,
         seed, max_depth, rr, rr_start, nee and mega.n_lights > 0, mis, clamp,
         t_min, interpret, mega.n_tris, mega.n_mats, mega.n_lights, mega.eps,
-        mega.total_light_area, pixel_base, pixel_count,
+        mega.total_light_area, pixel_base, pixel_count, sample_base,
         schedule == "regen", count_rows,
     )
 
@@ -1108,19 +1117,20 @@ def render_mega(mega: MegaScene, cam: T.Camera, width: int, height: int,
 def _render_mega_jit(tri, matt, lit, cb, cam, width, height, spp, seed,
                      max_depth, rr, rr_start, nee, mis, clamp, t_min,
                      interpret, n_tris, n_mats, n_lights, eps,
-                     total_light_area, pixel_base, pixel_count, regen=False,
-                     count_rows=False):
+                     total_light_area, pixel_base, pixel_count,
+                     sample_base=0, regen=False, count_rows=False):
     n_pixels = pixel_count
     n_rays = n_pixels if regen else n_pixels * spp
     n_blocks = (n_rays + BLK - 1) // BLK
 
     si = jnp.array(
         [width, height, n_tris, max_depth, 0, int(rr), rr_start, n_pixels,
-         n_mats, n_lights, 0, width * height, spp],
+         n_mats, n_lights, 0, width * height, spp, 0],
         jnp.int32,
     )
     si = si.at[4].set(jnp.asarray(seed, jnp.int32))
     si = si.at[10].set(jnp.asarray(pixel_base, jnp.int32))
+    si = si.at[13].set(jnp.asarray(sample_base, jnp.int32))
     sf = jnp.concatenate(
         [
             cam.position.reshape(3),

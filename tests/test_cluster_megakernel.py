@@ -38,6 +38,7 @@ def small_clustered():
     )
 
 
+@pytest.mark.slow
 def test_cluster_mega_matches_tri_mega_plain(small_clustered):
     mega, cms, cam = small_clustered
     r1, s1 = mk.render_mega(mega, cam, 32, 32, spp=1, seed=7, max_depth=3,
@@ -49,6 +50,7 @@ def test_cluster_mega_matches_tri_mega_plain(small_clustered):
     assert float(s1) == float(s2)
 
 
+@pytest.mark.slow
 def test_cluster_mega_matches_tri_mega_nee_regen(small_clustered):
     """Full estimator stack (NEE+MIS+RR) under path regeneration."""
     mega, cms, cam = small_clustered
@@ -60,6 +62,7 @@ def test_cluster_mega_matches_tri_mega_nee_regen(small_clustered):
     assert float(s1) == float(s2)
 
 
+@pytest.mark.slow
 def test_hybrid_compact_loose_caps_bit_equal(small_clustered):
     """Compaction with caps that never bind (p stays 1) is a pure pool
     shrink over all-dead sorted tails — the radiance must be BIT-equal to
@@ -73,6 +76,7 @@ def test_hybrid_compact_loose_caps_bit_equal(small_clustered):
     assert float(s1) == float(s2)
 
 
+@pytest.mark.slow
 def test_hybrid_compact_tight_caps_unbiased(small_clustered):
     """Caps below the live count trigger Bernoulli roulette (1/p throughput
     scaling): the mean radiance must agree with the uncompacted render
@@ -93,6 +97,7 @@ def test_hybrid_compact_tight_caps_unbiased(small_clustered):
     assert float(s2) <= float(s1)
 
 
+@pytest.mark.slow
 def test_hybrid_matches_cluster_mega_batch(small_clustered):
     """The hybrid fused-bounce pipeline (one kernel per bounce + XLA
     coherence re-sort) must reproduce the batch-schedule cluster megakernel
@@ -108,6 +113,7 @@ def test_hybrid_matches_cluster_mega_batch(small_clustered):
     assert float(s1) == float(s2)
 
 
+@pytest.mark.slow
 def test_mosaic_interpreter_matches_classic(small_clustered):
     """CPU hosts default to the classic (traced/XLA) Pallas interpreter;
     the Mosaic TPU interpreter stays reachable via ``interpret="mosaic"``
@@ -123,3 +129,21 @@ def test_mosaic_interpreter_matches_classic(small_clustered):
     r2, s2 = cmk.render_hybrid(cms, cam, 16, 16, interpret="mosaic", **kw)
     np.testing.assert_array_equal(np.asarray(r2), np.asarray(r1))
     assert float(s1) == float(s2)
+
+
+@pytest.mark.slow
+def test_profile_hybrid_matches_render_hybrid(small_clustered):
+    """The stage-instrumented profiler twin (tools/render.py --profile) must
+    compute the same estimator as the production scan pipeline — same stage
+    math, same streams; only f32 reassociation across the stage-level jit
+    boundaries is allowed."""
+    _, cms, cam = small_clustered
+    kw = dict(spp=2, seed=3, max_depth=3, nee=True, mis=True,
+              interpret=True, subt=8, compact=(0.9, 0.6))
+    r1, s1 = cmk.render_hybrid(cms, cam, 16, 16, **kw)
+    timer, r2, s2 = cmk.profile_hybrid(cms, cam, 16, 16, **kw)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), rtol=1e-5,
+                               atol=1e-6)
+    assert float(s1) == float(s2)
+    rep = timer.report()
+    assert "bounce[d0]" in rep and "raygen" in rep and "final-reduce" in rep

@@ -69,22 +69,40 @@ def test_sharded_matches_single_device():
 
 def test_mega_sharded_furnace_exact(furnace):
     """The fused Pallas kernel under shard_map: furnace identity must survive
-    sample-axis DP + psum (kernel runs in TPU-interpret mode on the CPU mesh)."""
+    sample-axis DP + psum (kernel runs in TPU-interpret mode on the CPU mesh),
+    and the sharded render must be stream-exact against single-chip (same
+    seed, global sample indices via ``sample_base``) AND invariant to the
+    mesh shape — only f32 sum order may differ."""
     from mcpt.pallas import megakernel as mk
 
     scene, lights, cam = furnace
     mega = mk.build_megascene(scene, lights)
-    mesh = dist.make_mesh(samples=4, pixels=2)
     res = 16
-    import dataclasses
 
-    rad = dist.render_mega_sharded(
-        mega, cam, res, res, spp=8, mesh=mesh, seed=0, max_depth=6,
-        interpret=True,
+    rad, segs = dist.render_mega_sharded(
+        mega, cam, res, res, spp=8, mesh=dist.make_mesh(samples=4, pixels=2),
+        seed=0, max_depth=6, interpret=True,
     )
     img = np.asarray(rad).reshape(res, res, 3) / 8
     np.testing.assert_allclose(img[res // 2, res // 2], 0.5, atol=1e-5)
     np.testing.assert_allclose(img[0, 0], 1.0, atol=1e-5)
+    assert float(segs) > 0.0
+
+    # stream-exact vs single chip (same seed, same (sample, pixel) streams)
+    rad_1, segs_1 = mk.render_mega(
+        mega, cam, res, res, spp=8, seed=0, max_depth=6, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(rad), np.asarray(rad_1),
+                               rtol=1e-5, atol=1e-6)
+    assert float(segs) == float(segs_1)
+
+    # mesh-shape invariance: 8×1 (pure sample DP) ≡ 2×4
+    rad_b, _ = dist.render_mega_sharded(
+        mega, cam, res, res, spp=8, mesh=dist.make_mesh(samples=8, pixels=1),
+        seed=0, max_depth=6, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(rad), np.asarray(rad_b),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_sharded_deterministic(furnace):
@@ -100,11 +118,13 @@ def test_sharded_deterministic(furnace):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_cluster_sharded_matches_single_device():
     """The fused cluster engine under the ('samples','pixels') mesh (pixel
     slices of the tile permutation + sample-axis psum; kernel runs in
-    TPU-interpret mode on the CPU mesh) must reproduce the single-chip
-    cluster render for the same total spp and per-sample-shard seeds."""
+    TPU-interpret mode on the CPU mesh) must be stream-exact against the
+    single-chip cluster render — same seed, global sample indices — and
+    invariant to the mesh shape."""
     import dataclasses
 
     from mcpt.pallas import cluster_megakernel as cmk
@@ -118,25 +138,34 @@ def test_cluster_sharded_matches_single_device():
     cms = cmk.build_cluster_megascene(scene, lights)
 
     mesh = dist.make_mesh(samples=2, pixels=4)
-    rad_sh = np.asarray(dist.render_cluster_sharded(
+    rad_sh, segs_sh = dist.render_cluster_sharded(
         cms, cam, w, h, spp=2, mesh=mesh, seed=5, max_depth=2, nee=True,
         mis=True, interpret=True,
-    ))
+    )
+    rad_sh = np.asarray(rad_sh)
     assert rad_sh.shape == (w * h, 3)
     assert np.isfinite(rad_sh).all() and rad_sh.sum() > 0.0
 
-    # single-chip equivalent: sum the two sample-shard renders (batch
-    # schedule, same per-shard seeds)
-    acc = np.zeros_like(rad_sh)
-    for si in range(2):
-        r, _ = cmk.render_cluster_mega(
-            cms, cam, w, h, spp=1, seed=5 + si * 65537 + 1, max_depth=2,
-            nee=True, mis=True, interpret=True, schedule="batch",
-        )
-        acc += np.asarray(r)
-    np.testing.assert_allclose(rad_sh, acc, rtol=1e-5, atol=1e-6)
+    # stream-exact vs single chip: same seed, batch schedule (the sharded
+    # path's schedule), same (sample, pixel) RNG streams
+    rad_1, segs_1 = cmk.render_cluster_mega(
+        cms, cam, w, h, spp=2, seed=5, max_depth=2, nee=True, mis=True,
+        interpret=True, schedule="batch",
+    )
+    np.testing.assert_allclose(rad_sh, np.asarray(rad_1), rtol=1e-5,
+                               atol=1e-6)
+    assert float(segs_sh) == float(segs_1)
+
+    # mesh-shape invariance: pure sample DP ≡ mixed
+    rad_b, _ = dist.render_cluster_sharded(
+        cms, cam, w, h, spp=2, mesh=dist.make_mesh(samples=1, pixels=8),
+        seed=5, max_depth=2, nee=True, mis=True, interpret=True,
+    )
+    np.testing.assert_allclose(rad_sh, np.asarray(rad_b), rtol=1e-5,
+                               atol=1e-6)
 
 
+@pytest.mark.slow
 def test_hybrid_sharded_matches_single_device():
     """The production large-scene engine (hybrid fused-bounce) under the
     ('samples','pixels') mesh must reproduce the single-chip hybrid render

@@ -67,6 +67,12 @@ def main(argv=None):
     ap.add_argument("--resort", choices=["auto", "on", "off"], default="auto",
                     help="inter-bounce ray re-sorting (Morton/octant) for the "
                          "wavefront BVH path; auto = on for clustered scenes")
+    ap.add_argument("--profile", action="store_true",
+                    help="per-stage timing report at exit (runtime.StageTimer"
+                         " — the reference's profiling queue + timeCost, "
+                         "oclbasic.cpp:117,232-247); the hybrid engine also "
+                         "prints a per-bounce kernel/sort/compaction "
+                         "breakdown from one instrumented step")
     args = ap.parse_args(argv)
 
     from mcpt.config import load_config
@@ -178,13 +184,12 @@ def main(argv=None):
             from mcpt import dist
 
             def render_step(seed_step, step):
-                rad = dist.render_mega_sharded(
+                return dist.render_mega_sharded(
                     mega, cam, width, height, spp=step, mesh=mesh,
                     seed=seed_step, max_depth=opts.max_depth,
                     nee=opts.nee, mis=opts.mis, rr=opts.russian_roulette,
-                    interpret=interp,
+                    clamp=cfg.integrator.clamp, interpret=interp,
                 )
-                return rad, None
         else:
             def render_step(seed_step, step):
                 return mk.render_mega(
@@ -227,13 +232,12 @@ def main(argv=None):
             from mcpt import dist
 
             def render_step(seed_step, step):
-                rad = dist.render_cluster_sharded(
+                return dist.render_cluster_sharded(
                     cms, cam, width, height, spp=step, mesh=mesh,
                     seed=seed_step, max_depth=opts.max_depth,
                     nee=opts.nee, mis=opts.mis, rr=opts.russian_roulette,
                     interpret=interp,
                 )
-                return rad, None
         else:
             render_one = (cmk.render_hybrid if engine == "hybrid"
                           else cmk.render_cluster_mega)
@@ -250,12 +254,11 @@ def main(argv=None):
             from mcpt import dist
 
             def render_step(seed_step, step):
-                rad = dist.render_batch_sharded(
+                return dist.render_batch_sharded(
                     scene, lights, cam, width, height,
                     jax.random.fold_in(jax.random.key(cfg.seed), seed_step),
-                    opts, step, mesh,
+                    opts, step, mesh, with_stats=True,
                 )
-                return rad, None
         else:
             def render_step(seed_step, step):
                 return integ.render_batch(
@@ -277,18 +280,28 @@ def main(argv=None):
             spp = ((spp + d_s - 1) // d_s) * d_s
             print(f"spp rounded up to {spp} (samples axis = {d_s})")
     done = start_s
-    # measured Mrays/s: engines that count live segments (mega / cluster /
-    # hybrid / wavefront single-chip) report the honest number the reference
-    # shows as FPS (openglapp.cpp:52-56); sharded engines without a count
-    # fall back to the W·H·depth upper bound (marked ``≤``)
+    timer = runtime.StageTimer() if args.profile else None
+    # measured Mrays/s: every engine, single-chip or sharded, counts live
+    # segments (closest-hit queries on live paths + NEE shadow rays) — the
+    # honest number the reference shows as FPS (openglapp.cpp:52-56); the
+    # ``≤`` upper-bound fallback remains only for a future engine without a
+    # counter
     segs_done, segs_last = 0.0, 0.0
     # interval triggers track the last fire (done advances in spp_per_step
     # strides, which may never land on an exact multiple of the interval)
     snap_last, ckpt_last = done, done
     while done < spp:
         step = min(step_size, spp - done)
-        radiance, segs = render_step(cfg.seed + done * 7919, step)
-        fb = integ.accumulate(fb, radiance, spp=step)
+        if timer is not None:
+            with timer.stage("render_step"):
+                radiance, segs = render_step(cfg.seed + done * 7919, step)
+                timer.sync(radiance)
+            with timer.stage("accumulate"):
+                fb = integ.accumulate(fb, radiance, spp=step)
+                timer.sync(fb.sum)
+        else:
+            radiance, segs = render_step(cfg.seed + done * 7919, step)
+            fb = integ.accumulate(fb, radiance, spp=step)
         done += step
         if segs is not None:
             segs_done += float(segs)  # forces the step (device scalar read)
@@ -326,11 +339,36 @@ def main(argv=None):
 
     img = integ.framebuffer_image(fb, width, height)
     # final outputs: .hdr like the reference (colorout.cpp:63-68) + png + exr
-    im.write_hdr(os.path.join(args.out, f"{stem}.hdr"), img)
-    im.write_png(os.path.join(args.out, f"{stem}.png"), im.tonemap_srgb(img[::-1]))
-    im.write_exr(os.path.join(args.out, f"{stem}.exr"), img[::-1])
+    if timer is not None:
+        with timer.stage("image_io"):
+            im.write_hdr(os.path.join(args.out, f"{stem}.hdr"), img)
+            im.write_png(os.path.join(args.out, f"{stem}.png"),
+                         im.tonemap_srgb(img[::-1]))
+            im.write_exr(os.path.join(args.out, f"{stem}.exr"), img[::-1])
+    else:
+        im.write_hdr(os.path.join(args.out, f"{stem}.hdr"), img)
+        im.write_png(os.path.join(args.out, f"{stem}.png"),
+                     im.tonemap_srgb(img[::-1]))
+        im.write_exr(os.path.join(args.out, f"{stem}.exr"), img[::-1])
     print(f"Finished Attempting")  # parity with colorout.cpp:65
     print(f"wrote {stem}.hdr/.png/.exr in {args.out}")
+    if timer is not None:
+        print("\nprofile: CLI stage totals (first render_step includes "
+              "compile)")
+        print(timer.report())
+        if engine == "hybrid" and mesh is None:
+            from mcpt.pallas import cluster_megakernel as cmk
+
+            print("\nprofile: hybrid per-bounce breakdown "
+                  "(one instrumented step, stage-level jits)")
+            t2, _, _ = cmk.profile_hybrid(
+                cms, cam, width, height, spp=min(step_size, spp),
+                seed=cfg.seed + (spp + 1) * 7919, max_depth=opts.max_depth,
+                rr=opts.russian_roulette, rr_start=opts.rr_start_depth,
+                nee=opts.nee, mis=opts.mis, clamp=cfg.integrator.clamp,
+                interpret=interp, **extra,
+            )
+            print(t2.report())
     return 0
 
 
