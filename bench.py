@@ -2,18 +2,33 @@
 """Headline benchmarks: path-tracing throughput on one TPU chip.
 
 Four regimes (the reference's three workload shapes + the large-BVH stress
-scene), one JSON line each, then ONE final summary line — the driver records
-the LAST line, so the summary carries every regime (the round-2 verdict's
+scene), one JSON line each, then a summary line — the driver records the
+LAST line, so the summary carries every regime (the round-2 verdict's
 fix: the weakest regime must be visible in round-over-round tracking, like
-the reference printing every metric it measures, ``bvhtest.cpp:476-494``):
+the reference printing every metric it measures, ``bvhtest.cpp:476-494``).
 
-1. ``boxfield`` — 108k-triangle large-BVH scene (the reference diningroom
-   workload shape, ``config.json:58-84``), depth 8.
-2. ``diningroom`` — procedural interior ~96k tris, 1280×720 depth-8 NEE+MIS
-   (the reference's actual third workload, ``config.json:58-84``).
-3. ``veach_mis`` 768×512 depth 16 NEE+MIS (the reference veach workload
+**This run can never record nothing** (the round-4 failure: one cold-compile
+cascade overran the driver's timeout before the first regime printed, and
+``BENCH_r04.json`` recorded ``parsed: null`` — the reference never has this
+problem, its FPS is on screen every frame, ``openglapp.cpp:52-56``):
+
+- regimes run cheapest-compile-first (veach ~5 s cold, cbox minutes, the
+  two hybrid scenes worst — docs/PERF_NOTES.md cold-compile table);
+- each regime runs under a ``signal.alarm`` wall budget
+  (``MCPT_BENCH_REGIME_BUDGET``, default 480 s) — an overrun or error is
+  recorded as skipped, and the next regime still runs;
+- the running summary line is re-printed after EVERY regime, and a
+  SIGTERM/atexit handler prints it one final time — so however this process
+  dies, the last stdout line is a valid summary of whatever completed,
+  with the casualties named in ``skipped``.
+
+1. ``veach_mis`` 768×512 depth 16 NEE+MIS (the reference veach workload
    shape, ``config.json:31-56``) — the megakernel's chunked fori tier.
-4. ``cbox`` 1024² depth 16 — the fused Pallas megakernel (VMEM-sized scene).
+2. ``cbox`` 1024² depth 16 — the fused Pallas megakernel (VMEM-sized scene).
+3. ``boxfield`` — 108k-triangle large-BVH scene (the reference diningroom
+   workload shape, ``config.json:58-84``), depth 8.
+4. ``diningroom`` — procedural interior ~96k tris, 1280×720 depth-8 NEE+MIS
+   (the reference's actual third workload, ``config.json:58-84``).
 
 The reference publishes no numbers (BASELINE.md).  Per-regime ``vs_baseline``:
 cbox is measured against the self-established ≥500 Mrays/s north star; the
@@ -49,9 +64,12 @@ reported for them.
 
 from __future__ import annotations
 
+import atexit
 import dataclasses
 import json
 import math
+import os
+import signal
 import statistics
 import sys
 import time
@@ -183,7 +201,7 @@ def _bench_large(scene, lights, cam, metric: str, baseline_key: str,
     """Shared large-BVH end-to-end bench — the hybrid fused-bounce engine
     (one Pallas call per bounce fusing closest walk + shade + NEE shadow
     walk + RR, inter-bounce coherence re-sort; the CLI's ``auto`` engine for
-    scenes past ~6k tris)."""
+    scenes past the measured ~1.5k-tri crossover, tools/render.py)."""
     import jax
 
     from mcpt.pallas import cluster_megakernel as cmk
@@ -264,47 +282,98 @@ def _bench_diningroom(n_batches: int = 5) -> dict:
     )
 
 
-def main() -> int:
-    _enable_cache()
+class _RegimeTimeout(Exception):
+    pass
 
-    from mcpt.runtime import measure_vpu_peak
 
-    vpu_peak = measure_vpu_peak()
-
-    results = {}
-    for name, fn in (
-        ("boxfield", _bench_boxfield),
-        ("diningroom", _bench_diningroom),
-        ("veach_mis", _bench_veach),
-        ("cbox", _bench_cbox),
-    ):
-        r = fn()
-        results[name] = r
-        pub = {k: v for k, v in r.items() if not k.startswith("_")}
-        print(json.dumps(pub), flush=True)
-
-    # final summary line (the one the driver records): every regime + MFU
+def _summary(results: dict, skipped: dict, vpu_peak: float | None) -> dict:
+    """A valid driver-recordable summary of whatever has completed so far."""
     vals = [results[k]["value"] for k in results]
     ratios = [results[k]["vs_baseline"] for k in results]
-    geomean = math.exp(sum(math.log(max(v, 1e-9)) for v in vals) / len(vals))
+    n = max(len(vals), 1)
+    geomean = math.exp(sum(math.log(max(v, 1e-9)) for v in vals) / n) \
+        if vals else 0.0
     geo_ratio = math.exp(
-        sum(math.log(max(v, 1e-9)) for v in ratios) / len(ratios)
-    )
+        sum(math.log(max(v, 1e-9)) for v in ratios) / n
+    ) if ratios else 0.0
     summary = {
         "metric": "all-regime throughput (geomean of "
-                  "boxfield/diningroom/veach/cbox Mrays/s)",
+                  f"{'/'.join(results) or 'none'} Mrays/s; "
+                  f"{len(results)}/4 regimes completed)",
         "value": round(geomean, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(geo_ratio, 3),
-        "vpu_peak_tflops": round(vpu_peak / 1e12, 2),
     }
+    if vpu_peak:
+        summary["vpu_peak_tflops"] = round(vpu_peak / 1e12, 2)
     for k, r in results.items():
         summary[k] = r["value"]
-        if "_flops_per_seg" in r:
+        if vpu_peak and "_flops_per_seg" in r:
             mfu = r["value"] * 1e6 * r["_flops_per_seg"] / vpu_peak
             summary[f"mfu_{k}"] = round(mfu, 3)
-    print(json.dumps(summary), flush=True)
-    return 0
+    if skipped:
+        summary["skipped"] = skipped
+    return summary
+
+
+def main() -> int:
+    _enable_cache()
+
+    state = {"results": {}, "skipped": {}, "vpu_peak": None, "done": False}
+
+    def flush(*_args):
+        if not state["done"]:
+            print(json.dumps(_summary(state["results"], state["skipped"],
+                                      state["vpu_peak"])), flush=True)
+
+    def on_term(_sig, _frm):
+        # the driver's `timeout` sends SIGTERM: land the partial summary as
+        # the final stdout line, then die with the conventional exit code
+        flush()
+        state["done"] = True
+        os._exit(124)
+
+    atexit.register(flush)
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGALRM,
+                  lambda *_: (_ for _ in ()).throw(_RegimeTimeout()))
+
+    budget = int(os.environ.get("MCPT_BENCH_REGIME_BUDGET", "480"))
+
+    try:
+        from mcpt.runtime import measure_vpu_peak
+
+        signal.alarm(budget)
+        state["vpu_peak"] = measure_vpu_peak()
+    except Exception as e:  # noqa: BLE001 - record and continue without MFU
+        state["skipped"]["vpu_peak"] = f"{type(e).__name__}: {e}"[:120]
+    finally:
+        signal.alarm(0)
+
+    # cheapest cold compile first (PERF_NOTES cold-compile table): a timeout
+    # mid-compile then costs the expensive regimes, never the cheap ones
+    for name, fn in (
+        ("veach_mis", _bench_veach),
+        ("cbox", _bench_cbox),
+        ("boxfield", _bench_boxfield),
+        ("diningroom", _bench_diningroom),
+    ):
+        signal.alarm(budget)
+        try:
+            r = fn()
+            state["results"][name] = r
+            pub = {k: v for k, v in r.items() if not k.startswith("_")}
+            print(json.dumps(pub), flush=True)
+        except Exception as e:  # noqa: BLE001 - skip-and-record, keep going
+            state["skipped"][name] = f"{type(e).__name__}: {e}"[:120]
+        finally:
+            signal.alarm(0)
+        flush()  # the last line is ALWAYS a current, valid summary
+
+    state["done"] = True  # atexit: don't print a duplicate
+    print(json.dumps(_summary(state["results"], state["skipped"],
+                              state["vpu_peak"])), flush=True)
+    return 0 if state["results"] else 1
 
 
 if __name__ == "__main__":
