@@ -2,14 +2,16 @@
 """High-spp precision gate for the PRODUCTION engines (run ON the TPU).
 
 The committed goldens (``tests/goldens/*.exr``, 2048 spp) were rendered by
-the dense megakernel (cbox) and the cluster engine (diningroom);
+the dense megakernel (cbox) and by ``render_hybrid`` itself (diningroom —
+so that row is a self-consistency gate, not a cross-engine one; the
+independent diningroom cross-check is docs/VALIDATION.md §5b);
 ``docs/VALIDATION.md`` §2b evidences the ≤1% BASELINE bar for the dense
 megakernel only.  This script closes the gap for the engine users actually
 get on large scenes: it renders cbox and diningroom at ≥512 spp through
 ``render_hybrid`` (fused bounce + coherence re-sort + pilot compaction —
-the CLI's auto engine past 6k tris) and gates the rel-RMSE against the
-goldens at the measured-noise level.  Mirrors the reference's
-golden-comparison workflow (``Scene/README.md:19``).
+the CLI's auto engine past the measured ~1.5k-tri crossover) and gates the
+rel-RMSE against the goldens at the measured-noise level.  Mirrors the
+reference's golden-comparison workflow (``Scene/README.md:19``).
 
 Recorded runs live in docs/VALIDATION.md §5.
 """
