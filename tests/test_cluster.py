@@ -159,6 +159,7 @@ def test_render_cluster_matches_bvh(bf):
     )
 
 
+@pytest.mark.slow
 def test_leaf_size_64_matches(bf):
     scene, _, cam, loaded = bf
     from mcpt.pallas import traverse_kernel as tk

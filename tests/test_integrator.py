@@ -77,6 +77,7 @@ def test_resort_preserves_estimator(furnace):
     np.testing.assert_allclose(img[1, 1], 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_estimator_agreement(quadlight):
     """Plain BSDF sampling at depth d+1 covers the same path space as NEE at
     depth d; all three estimators must agree within MC error."""
@@ -113,6 +114,7 @@ def test_depth_cut(quadlight):
     assert set(vals).issubset({0.0, 4.0})
 
 
+@pytest.mark.slow
 def test_loop_modes_agree(quadlight):
     """fori / while / unroll lowerings of the bounce loop are the same program."""
     scene, lights, cam = quadlight

@@ -130,6 +130,7 @@ def test_megakernel_chunked_fori_matches_unrolled(monkeypatch):
     assert float(segs_c) == float(segs_n)
 
 
+@pytest.mark.slow
 def test_count_rows_instrumentation(monkeypatch):
     """``count_rows=True`` (the honest-MFU counter for bench.py): radiance
     and segments are bit-identical to the uninstrumented render, the row
