@@ -101,7 +101,10 @@ def _bench_cbox(n_batches: int = 6) -> dict:
     from mcpt.scenes import cornell_box
 
     width = height = 1024
-    spp_per_batch = 32
+    # spp/batch sweep (r5): 32 -> 819, 64 -> 933 Mrays/s — the regen
+    # schedule's per-lane sample loop amortizes the block-retire tail and
+    # per-call dispatch; memory is spp-independent (lanes = pixels)
+    spp_per_batch = 64
     max_depth = 16  # the reference cbox workload depth (config.json:14)
 
     loaded, camcfg = cornell_box()
@@ -152,7 +155,13 @@ def _bench_veach(n_batches: int = 5) -> dict:
     from mcpt.scenes import veach_mis
 
     width, height = 768, 512
-    spp_per_batch = 8
+    # spp/batch sweep (r5, the round-5 veach fix — the flat 36.4 was a
+    # batching artifact, not a kernel ceiling): 8 -> 36.9, 32 -> 51.5,
+    # 64 -> 56.5, 128 -> 60.2 Mrays/s.  regen lanes = pixels, so at spp=8
+    # each lane traces only 8 short paths and the whole-block retire tail
+    # (lanes idle until the slowest lane in the block finishes) plus
+    # per-call dispatch dominate; at spp=128 the tail amortizes 16x.
+    spp_per_batch = 128
 
     loaded, camcfg = veach_mis()
     camcfg = dataclasses.replace(camcfg, resolution=(width, height))
@@ -254,11 +263,14 @@ def _bench_boxfield(n_batches: int = 5) -> dict:
     camcfg = dc.replace(camcfg, resolution=(width, height))
     scene, lights = build_scene(loaded)
     cam = camera_mod.make_camera(camcfg)
+    # spp/batch sweep (r5): 16 -> 11.1, 32 -> 12.8, 64 -> 14.0 Mrays/s —
+    # bigger pools pack coherence-sort buckets better and amortize
+    # per-bounce pipeline cost (same lever as r3's dead-block-skip scaling)
     return _bench_large(
         scene, lights, cam,
         metric="boxfield 108k-tri 1280x720 depth-8 BVH path tracing",
         baseline_key="boxfield", width=width, height=height,
-        max_depth=8, nee=False, spp_per_batch=16, n_batches=n_batches,
+        max_depth=8, nee=False, spp_per_batch=64, n_batches=n_batches,
     )
 
 
@@ -274,11 +286,13 @@ def _bench_diningroom(n_batches: int = 5) -> dict:
     camcfg = dc.replace(camcfg, resolution=(width, height))
     scene, lights = build_scene(loaded)
     cam = camera_mod.make_camera(camcfg)
+    # spp/batch sweep (r5): 8 -> 7.95, 16 -> 9.50, 32 -> 10.90 Mrays/s
+    # (same pool-packing lever as boxfield; 32 spp ~= 2 GB pool)
     return _bench_large(
         scene, lights, cam,
         metric="diningroom 96k-tri 1280x720 depth-8 NEE+MIS path tracing",
         baseline_key="diningroom", width=width, height=height,
-        max_depth=8, nee=True, spp_per_batch=8, n_batches=n_batches,
+        max_depth=8, nee=True, spp_per_batch=32, n_batches=n_batches,
     )
 
 
@@ -286,7 +300,8 @@ class _RegimeTimeout(Exception):
     pass
 
 
-def _summary(results: dict, skipped: dict, vpu_peak: float | None) -> dict:
+def _summary(results: dict, skipped: dict, vpu_peak: float | None,
+             extras: dict | None = None) -> dict:
     """A valid driver-recordable summary of whatever has completed so far."""
     vals = [results[k]["value"] for k in results]
     ratios = [results[k]["vs_baseline"] for k in results]
@@ -311,6 +326,8 @@ def _summary(results: dict, skipped: dict, vpu_peak: float | None) -> dict:
         if vpu_peak and "_flops_per_seg" in r:
             mfu = r["value"] * 1e6 * r["_flops_per_seg"] / vpu_peak
             summary[f"mfu_{k}"] = round(mfu, 3)
+    if extras:
+        summary.update(extras)
     if skipped:
         summary["skipped"] = skipped
     return summary
@@ -319,12 +336,14 @@ def _summary(results: dict, skipped: dict, vpu_peak: float | None) -> dict:
 def main() -> int:
     _enable_cache()
 
-    state = {"results": {}, "skipped": {}, "vpu_peak": None, "done": False}
+    state = {"results": {}, "skipped": {}, "vpu_peak": None, "done": False,
+             "extras": {}}
 
     def flush(*_args):
         if not state["done"]:
             print(json.dumps(_summary(state["results"], state["skipped"],
-                                      state["vpu_peak"])), flush=True)
+                                      state["vpu_peak"], state["extras"])),
+                  flush=True)
 
     def on_term(_sig, _frm):
         # the driver's `timeout` sends SIGTERM: land the partial summary as
@@ -338,15 +357,45 @@ def main() -> int:
     signal.signal(signal.SIGALRM,
                   lambda *_: (_ for _ in ()).throw(_RegimeTimeout()))
 
-    budget = int(os.environ.get("MCPT_BENCH_REGIME_BUDGET", "480"))
+    # 720 s: a hybrid regime that misses the compile cache pays ~4-6 min of
+    # remote compiles (r5 measured: boxfield ~360 s, diningroom ~260 s per
+    # spp specialization) + ~2 min of timed batches; 480 s lost the regime
+    budget = int(os.environ.get("MCPT_BENCH_REGIME_BUDGET", "720"))
+
+    # attach phase: the tunnelled chip takes MINUTES to reclaim if another
+    # process touched it recently (verify SKILL.md gotcha — this, not cold
+    # compiles, is what ate the round-4 run: the first device op blocks
+    # inside one long native call that even signal.alarm can't interrupt
+    # until it returns).  Pay that wait HERE, on a trivial op with its own
+    # generous budget, so every regime budget below measures work.
+    attach_budget = int(os.environ.get("MCPT_BENCH_ATTACH_BUDGET", "900"))
+    t_attach = time.time()
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        signal.alarm(attach_budget)
+        float(jnp.zeros((8, 128)).sum())
+    except Exception as e:  # noqa: BLE001
+        state["skipped"]["attach"] = f"{type(e).__name__}: {e}"[:120]
+    finally:
+        signal.alarm(0)
+    state["attach_s"] = round(time.time() - t_attach, 1)
+
+    from mcpt.runtime import (load_cached_vpu_peak, measure_vpu_peak,
+                              save_cached_vpu_peak)
 
     try:
-        from mcpt.runtime import measure_vpu_peak
-
         signal.alarm(budget)
         state["vpu_peak"] = measure_vpu_peak()
-    except Exception as e:  # noqa: BLE001 - record and continue without MFU
-        state["skipped"]["vpu_peak"] = f"{type(e).__name__}: {e}"[:120]
+        save_cached_vpu_peak(state["vpu_peak"])
+    except Exception as e:  # noqa: BLE001 - fall back to the cached constant
+        cached = load_cached_vpu_peak()
+        if cached:
+            state["vpu_peak"] = cached
+            state["vpu_peak_cached"] = True
+        else:
+            state["skipped"]["vpu_peak"] = f"{type(e).__name__}: {e}"[:120]
     finally:
         signal.alarm(0)
 
@@ -372,7 +421,7 @@ def main() -> int:
 
     state["done"] = True  # atexit: don't print a duplicate
     print(json.dumps(_summary(state["results"], state["skipped"],
-                              state["vpu_peak"])), flush=True)
+                              state["vpu_peak"], state["extras"])), flush=True)
     return 0 if state["results"] else 1
 
 

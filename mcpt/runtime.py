@@ -102,6 +102,53 @@ def mrays(segments: float, seconds: float) -> float:
     return segments / max(seconds, 1e-12) / 1e6
 
 
+def _vpu_peak_cache_path() -> str:
+    return os.path.join(os.path.expanduser("~"), ".cache",
+                        "mcpt-vpu-peak.json")
+
+
+def load_cached_vpu_peak() -> float | None:
+    """Last measured VPU peak for the attached device kind, or None.
+
+    The peak is a hardware constant, so a prior measurement is a valid MFU
+    denominator when a fresh one can't land — e.g. when the tunnelled chip
+    is mid-reclaim from a previous process and the first device op blocks
+    for minutes (the round-4 bench killer; see bench.py's attach phase).
+    """
+    import json
+
+    import jax
+
+    try:
+        with open(_vpu_peak_cache_path()) as f:
+            data = json.load(f)
+        kind = jax.devices()[0].device_kind
+        val = data.get(kind)
+        return float(val) if val else None
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        return None
+
+
+def save_cached_vpu_peak(peak: float) -> None:
+    import json
+
+    import jax
+
+    path = _vpu_peak_cache_path()
+    try:
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:  # noqa: BLE001
+            data = {}
+        data[jax.devices()[0].device_kind] = peak
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(data, f)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
+
+
 def measure_vpu_peak(repeats: int = 3) -> float:
     """Empirical f32 VPU FMA peak of the attached chip, in FLOP/s.
 
