@@ -1186,6 +1186,13 @@ def _render_mega_jit(tri, matt, lit, cb, cam, width, height, spp, seed,
             pltpu.VMEM((SUB, 128), jnp.int32),
             pltpu.VMEM((SUB, 128), jnp.float32),
         ],
+        # scoped-VMEM headroom: the fully-unrolled tier's straight-line code
+        # (up to UNROLL_MAX_TRIS hoisted rows × 3 loop bodies) spills past
+        # the 16 MiB default stack limit above ~300 tris; the chip has
+        # 128 MiB, and the cluster kernels already run at 96 MiB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
         # CPU hosts run the classic interpreter (see mcpt/pallas/_interp.py)
         interpret=interp_mode(interpret),
     )(si, sf, tri, matt, lit, cb)
