@@ -142,12 +142,20 @@ def tri_area(verts: np.ndarray) -> np.ndarray:
     )
 
 
-def epo(bvh, verts, chunk: int = 2048, use_native: str = "auto") -> float:
+def epo(bvh, verts, chunk: int = 2048, use_native: str = "auto",
+        device: str = "cpu") -> float:
     """Expected Projected Overlap (reference semantics, ``bvhtest.cpp:221-284``).
 
     Dispatches to the parallel C++ walk (``mcpt/native``, seconds for a
     100k-tri scene — the counterpart of the reference's GPU EPO kernel,
-    ``kernels/EPO.cl:133-197``) when available.  The fallback is jitted and
+    ``kernels/EPO.cl:133-197``) when available.  ``device="tpu"`` runs the
+    jitted walk segments AND the clip batches on the accelerator instead
+    (f32 clips, like the reference's ``EPO.cl`` — the CPU path clips in
+    f64); the default endpoint stays CPU-native: EPO is a build-quality
+    *diagnostic*, the native walk does 108k tris in ~2 s, and the
+    host-driven segment loop pays a tunnel round trip per refill on this
+    environment's remote chip — the measured comparison is recorded in
+    docs/VALIDATION.md §6.  The fallback is jitted and
     two-phase: (1) a batched *walk* — ``chunk`` lanes traverse the tree in
     lock-step, refilled from a host work queue every ``_EPO_SEG_STEPS`` steps
     so total cost is ∝ Σ pops / chunk, emitting every live (leaf, node)
@@ -160,7 +168,7 @@ def epo(bvh, verts, chunk: int = 2048, use_native: str = "auto") -> float:
     subtree leaf-ranges (Karras internal nodes cover contiguous sorted-leaf
     ranges, so ancestry is an interval test).
     """
-    if use_native != "never":
+    if use_native != "never" and device == "cpu":
         try:
             from mcpt import native
 
@@ -233,7 +241,8 @@ def epo(bvh, verts, chunk: int = 2048, use_native: str = "auto") -> float:
     pair_tris: list = []
     tri_area64 = tri_area(verts)
     contained_epo = 0.0
-    with jax.default_device(jax.devices("cpu")[0]):
+    dev = jax.devices(device)[0]
+    with jax.default_device(dev):
         import jax.numpy as jnp
 
         tree = (
@@ -299,26 +308,32 @@ def epo(bvh, verts, chunk: int = 2048, use_native: str = "auto") -> float:
 
     total_epo = contained_epo
     if pair_nodes:
+        import contextlib
+
         nodes_all = np.concatenate(pair_nodes)
         tris_all = np.concatenate(pair_tris)
-        bbmin64 = np.asarray(bvh.bbmin, np.float64)
-        bbmax64 = np.asarray(bvh.bbmax, np.float64)
+        # CPU clips in f64 (exact to 2e-13 vs native); accelerator clips in
+        # f32 like the reference's GPU kernel (EPO.cl is float throughout)
+        fdt = np.float64 if device == "cpu" else np.float32
+        x64 = jax.enable_x64() if device == "cpu" else contextlib.nullcontext()
+        bbmin_f = np.asarray(bvh.bbmin, fdt)
+        bbmax_f = np.asarray(bvh.bbmax, fdt)
         w_all = np.where(nodes_all >= leaf_base, C_TRI, C_INN)
         bs = 16384
-        with jax.enable_x64(), jax.default_device(jax.devices("cpu")[0]):
+        with x64, jax.default_device(dev):
             import jax.numpy as jnp
 
             clip = _get_clip_batch_jit()
             for i in range(0, len(nodes_all), bs):
                 nd = nodes_all[i : i + bs]
                 pad = bs - len(nd)
-                geo = np.zeros((bs, 3, 3), np.float64)
+                geo = np.zeros((bs, 3, 3), fdt)
                 geo[: len(nd)] = v[tris_all[i : i + bs]]
-                bmn = np.zeros((bs, 3), np.float64)
-                bmx = np.zeros((bs, 3), np.float64)
-                bmn[: len(nd)] = bbmin64[nd]
-                bmx[: len(nd)] = bbmax64[nd]
-                w = np.zeros(bs, np.float64)
+                bmn = np.zeros((bs, 3), fdt)
+                bmx = np.zeros((bs, 3), fdt)
+                bmn[: len(nd)] = bbmin_f[nd]
+                bmx[: len(nd)] = bbmax_f[nd]
+                w = np.zeros(bs, fdt)
                 w[: len(nd)] = w_all[i : i + bs]
                 total_epo += float(
                     clip(jnp.asarray(geo), jnp.asarray(bmn),
