@@ -361,13 +361,17 @@ def main(argv=None):
 
             print("\nprofile: hybrid per-bounce breakdown "
                   "(one instrumented step, stage-level jits)")
-            t2, _, _ = cmk.profile_hybrid(
-                cms, cam, width, height, spp=min(step_size, spp),
+            prof_kw = dict(
+                spp=min(step_size, spp),
                 seed=cfg.seed + (spp + 1) * 7919, max_depth=opts.max_depth,
                 rr=opts.russian_roulette, rr_start=opts.rr_start_depth,
                 nee=opts.nee, mis=opts.mis, clamp=cfg.integrator.clamp,
                 interpret=interp, **extra,
             )
+            # warmup pass compiles every stage jit so the reported pass is
+            # pure execution (stage-level compiles otherwise dominate)
+            cmk.profile_hybrid(cms, cam, width, height, **prof_kw)
+            t2, _, _ = cmk.profile_hybrid(cms, cam, width, height, **prof_kw)
             print(t2.report())
     return 0
 
