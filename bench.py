@@ -368,7 +368,11 @@ def main() -> int:
     # inside one long native call that even signal.alarm can't interrupt
     # until it returns).  Pay that wait HERE, on a trivial op with its own
     # generous budget, so every regime budget below measures work.
-    attach_budget = int(os.environ.get("MCPT_BENCH_ATTACH_BUDGET", "900"))
+    # measured reclaims on this tunnel: ~660 s and >900 s (after a prior
+    # process held the chip for ~15 min) — 1800 s costs nothing when the
+    # chip is free, and an attach overrun is survivable anyway (the first
+    # regime's own device op absorbs the residual wait under its budget)
+    attach_budget = int(os.environ.get("MCPT_BENCH_ATTACH_BUDGET", "1800"))
     t_attach = time.time()
     try:
         import jax
@@ -380,7 +384,7 @@ def main() -> int:
         state["skipped"]["attach"] = f"{type(e).__name__}: {e}"[:120]
     finally:
         signal.alarm(0)
-    state["attach_s"] = round(time.time() - t_attach, 1)
+    state["extras"]["attach_s"] = round(time.time() - t_attach, 1)
 
     from mcpt.runtime import (load_cached_vpu_peak, measure_vpu_peak,
                               save_cached_vpu_peak)
@@ -393,7 +397,7 @@ def main() -> int:
         cached = load_cached_vpu_peak()
         if cached:
             state["vpu_peak"] = cached
-            state["vpu_peak_cached"] = True
+            state["extras"]["vpu_peak_cached"] = True
         else:
             state["skipped"]["vpu_peak"] = f"{type(e).__name__}: {e}"[:120]
     finally:
