@@ -101,10 +101,11 @@ def _bench_cbox(n_batches: int = 6) -> dict:
     from mcpt.scenes import cornell_box
 
     width = height = 1024
-    # spp/batch sweep (r5): 32 -> 819, 64 -> 933 Mrays/s — the regen
-    # schedule's per-lane sample loop amortizes the block-retire tail and
-    # per-call dispatch; memory is spp-independent (lanes = pixels)
-    spp_per_batch = 64
+    # spp/batch sweep (r5): 32 -> 819, 64 -> 942, 128 -> 1023, 256 -> 1077,
+    # 512 -> 1113 Mrays/s (tools/_probe_cbox_spp.py / _probe_spp2.py) — the
+    # regen schedule's per-lane sample loop amortizes the block-retire tail
+    # and per-call dispatch; memory is spp-independent (lanes = pixels)
+    spp_per_batch = 512
     max_depth = 16  # the reference cbox workload depth (config.json:14)
 
     loaded, camcfg = cornell_box()
@@ -157,11 +158,12 @@ def _bench_veach(n_batches: int = 5) -> dict:
     width, height = 768, 512
     # spp/batch sweep (r5, the round-5 veach fix — the flat 36.4 was a
     # batching artifact, not a kernel ceiling): 8 -> 36.9, 32 -> 51.5,
-    # 64 -> 56.5, 128 -> 60.2 Mrays/s.  regen lanes = pixels, so at spp=8
-    # each lane traces only 8 short paths and the whole-block retire tail
-    # (lanes idle until the slowest lane in the block finishes) plus
-    # per-call dispatch dominate; at spp=128 the tail amortizes 16x.
-    spp_per_batch = 128
+    # 64 -> 56.5, 128 -> 60.3, 256 -> 62.9 Mrays/s.  regen lanes = pixels,
+    # so at spp=8 each lane traces only 8 short paths and the whole-block
+    # retire tail (lanes idle until the slowest lane in the block finishes)
+    # plus per-call dispatch dominate; at spp=256 the tail amortizes 32x
+    # (tools/_probe_spp2.py; the curve is ~flat past here).
+    spp_per_batch = 256
 
     loaded, camcfg = veach_mis()
     camcfg = dataclasses.replace(camcfg, resolution=(width, height))
